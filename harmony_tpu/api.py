@@ -1,0 +1,193 @@
+"""Public API: ``run_harmony`` — NumPy in / NumPy out.
+
+Mirrors ``RunHarmony.default`` semantics (R/ui.R:91-309): orientation
+auto-detection, vector metadata coercion, hyperparameter expansion and
+validation, then drives the TPU engine. Returns either the corrected
+embedding (cells x dims, like the reference's ``t(getZcorr())``,
+R/ui.R:292-295) or a :class:`HarmonyResult` exposing the same fields as the
+reference's module object (src/harmony.cpp:672-709).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Union
+
+import jax
+import numpy as np
+
+from .config import (
+    HarmonyConfig,
+    HarmonyOptions,
+    check_legacy_args,
+    harmony_options,
+)
+from .driver import harmonize, run as _run
+from .engine import make_engine
+from .preprocess import (
+    DesignMatrix,
+    build_design,
+    expand_hyperparams,
+    orient_embedding,
+    resolve_config,
+)
+from .state import HarmonyState, init_state
+
+
+@dataclasses.dataclass
+class HarmonyResult:
+    """Result object mirroring the reference engine's exposed fields
+    (RCPP_MODULE, src/harmony.cpp:672-709)."""
+
+    config: HarmonyConfig
+    state: HarmonyState
+    design: DesignMatrix
+
+    # -- shapes ------------------------------------------------------------
+    @property
+    def N(self) -> int:
+        return self.config.N
+
+    @property
+    def d(self) -> int:
+        return self.config.d
+
+    @property
+    def K(self) -> int:
+        return self.config.K
+
+    @property
+    def B(self) -> int:
+        return self.config.B
+
+    # -- arrays (host copies, reference getters src/harmony.cpp:640-669) ---
+    @property
+    def Z_corr(self) -> np.ndarray:
+        """(d, N) corrected embedding (``getZcorr``)."""
+        return np.asarray(self.state.Z_corr)
+
+    @property
+    def Z_orig(self) -> np.ndarray:
+        return np.asarray(self.state.Z_orig)
+
+    @property
+    def Y(self) -> np.ndarray:
+        """(d, K) centroids (``getCentroids``)."""
+        return np.asarray(self.state.Y)
+
+    @property
+    def R(self) -> np.ndarray:
+        """(K, N) soft assignments (``getR``)."""
+        return np.asarray(self.state.R)
+
+    @property
+    def O(self) -> np.ndarray:
+        return np.asarray(self.state.O)
+
+    @property
+    def E(self) -> np.ndarray:
+        return np.asarray(self.state.E)
+
+    @property
+    def embeddings(self) -> np.ndarray:
+        """(N, d) corrected embedding, the default user-facing output."""
+        return self.Z_corr.T
+
+    def get_lambda(self) -> np.ndarray:
+        """K x (B+1) ridge-penalty matrix (``getLambda``, src/harmony.cpp:657-669)."""
+        if self.config.lambda_estimation:
+            lam = self.config.alpha * self.E  # (K, B)
+            return np.concatenate([np.zeros((self.K, 1), lam.dtype), lam], axis=1)
+        return np.broadcast_to(
+            np.asarray(self.state.lamb), (self.K, self.B + 1)
+        ).copy()
+
+    # -- traces ------------------------------------------------------------
+    @property
+    def objective_kmeans(self) -> np.ndarray:
+        return self._traces()["objective_kmeans"]
+
+    @property
+    def objective_harmony(self) -> np.ndarray:
+        return self._traces()["objective_harmony"]
+
+    @property
+    def kmeans_rounds(self) -> np.ndarray:
+        return self._traces()["kmeans_rounds"]
+
+    def _traces(self):
+        return self.state.trace_lists(self.config)
+
+
+def run_harmony(
+    data_mat,
+    meta_data,
+    vars_use: Optional[Sequence[str]] = None,
+    theta: Optional[Union[float, Sequence[float]]] = None,
+    sigma: Union[float, Sequence[float]] = 0.1,
+    lamb: Optional[Union[float, Sequence[float]]] = None,
+    nclust: Optional[int] = None,
+    max_iter: int = 10,
+    early_stop: bool = True,
+    return_object: bool = False,
+    verbose: bool = False,
+    seed: int = 0,
+    options: Optional[HarmonyOptions] = None,
+    dtype: str = "float32",
+    ridge_solver: str = "cholesky",
+    init_Y: Optional[np.ndarray] = None,
+    **legacy,
+):
+    """Run Harmony integration on a cell-embedding matrix.
+
+    Parameters mirror ``RunHarmony.default`` (R/ui.R:91-107); ``lamb`` is
+    the reference's ``lambda`` (``None`` enables estimation mode),
+    ``options`` the reference's ``.options``/``harmony_options()``, and
+    ``seed`` replaces R's implicit global RNG (R/ui.R:264-266). ``init_Y``
+    injects initial centroids (d x K or K x d) for trajectory parity runs.
+
+    Returns (N, d) corrected embeddings, or a :class:`HarmonyResult` when
+    ``return_object=True``.
+    """
+    check_legacy_args(**legacy)
+    if options is None:
+        options = harmony_options()
+
+    design = build_design(meta_data, vars_use)
+    N = design.n_cells
+    Z = orient_embedding(data_mat, N, verbose=verbose)
+    d = Z.shape[0]
+
+    cfg = resolve_config(
+        n_cells=N,
+        d=d,
+        design=design,
+        nclust=nclust,
+        max_iter=max_iter,
+        early_stop=early_stop,
+        options=options,
+        verbose=verbose,
+        lambda_estimation=lamb is None,
+        dtype=dtype,
+        ridge_solver=ridge_solver,
+    )
+    hp = expand_hyperparams(
+        design, cfg.K, theta, sigma, lamb, options.tau, verbose=verbose
+    )
+
+    key = jax.random.PRNGKey(seed)
+    state = init_state(cfg, Z, design, hp.sigma, hp.theta, hp.lamb, key)
+
+    if init_Y is not None:
+        init_Y = np.asarray(init_Y, dtype=np.float64)
+        if init_Y.shape == (cfg.K, cfg.d):
+            init_Y = init_Y.T
+        if init_Y.shape != (cfg.d, cfg.K):
+            raise ValueError(f"init_Y must be (d, K)={cfg.d, cfg.K}")
+
+    state = _run(cfg, state, verbose=verbose, Y0=init_Y)
+
+    result = HarmonyResult(config=cfg, state=state, design=design)
+    if return_object:
+        return result
+    return result.embeddings

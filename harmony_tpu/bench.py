@@ -1,0 +1,124 @@
+"""Benchmark harness: synthetic workloads + cells/sec/iteration metrics.
+
+The reference publishes only qualitative numbers ("~4 seconds" for 9,478
+cells on CPU, README.md:44). The driver-set target (BASELINE.md) is
+cells/sec/chip per Harmony iteration on large synthetic workloads
+(PERFORMANCE.md's >1M-cell regime).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def make_synthetic_cells(
+    n_cells: int,
+    d: int,
+    n_batches: int,
+    n_types: int = 10,
+    batch_shift: float = 1.5,
+    seed: int = 0,
+):
+    """Batch-confounded synthetic PCA-like embedding (float32)."""
+    rng = np.random.default_rng(seed)
+    types = rng.integers(0, n_types, size=n_cells)
+    batches = rng.integers(0, n_batches, size=n_cells)
+    type_centers = rng.normal(size=(n_types, d)).astype(np.float32) * 3.0
+    batch_offsets = rng.normal(size=(n_batches, d)).astype(np.float32)
+    batch_offsets *= batch_shift
+    Z = (
+        type_centers[types]
+        + batch_offsets[batches]
+        + rng.normal(size=(n_cells, d)).astype(np.float32) * 0.5
+    )
+    return Z, batches
+
+
+def run_bench(
+    n_cells: int = 100_000,
+    d: int = 50,
+    n_batches: int = 10,
+    nclust: int = 100,
+    max_iter: int = 2,
+    seed: int = 0,
+    baseline_cells_per_sec: Optional[float] = None,
+) -> dict:
+    """Time harmonize rounds; returns the bench.py JSON-line payload.
+
+    Timing excludes compilation (a warm-up round runs first) and k-means
+    init, and measures full (cluster + correct) Harmony rounds — the unit
+    the reference's per-iteration cost model describes (BASELINE.md).
+    """
+    import jax
+
+    from .config import harmony_options
+    from .driver import harmonize
+    from .engine import make_engine
+    from .preprocess import (
+        build_design,
+        expand_hyperparams,
+        orient_embedding,
+        resolve_config,
+    )
+    from .state import init_state
+
+    Z, batches = make_synthetic_cells(n_cells, d, n_batches, seed=seed)
+    meta = {"dataset": batches}
+
+    options = harmony_options()
+    design = build_design(meta, ["dataset"])
+    Zt = orient_embedding(Z, n_cells)
+    cfg = resolve_config(
+        n_cells=n_cells, d=d, design=design, nclust=nclust,
+        max_iter=max_iter, early_stop=False, options=options, verbose=False,
+    )
+    hp = expand_hyperparams(design, cfg.K, None, 0.1, 1.0, options.tau)
+    key = jax.random.PRNGKey(seed)
+    state = init_state(cfg, Zt, design, hp.sigma, hp.theta, hp.lamb, key)
+
+    engine = make_engine(cfg)
+    state = engine.init_cluster(state)
+    jax.block_until_ready(state.R)
+
+    # Warm-up: compile cluster + correct.
+    t0 = time.perf_counter()
+    warm = engine.cluster(state)
+    warm = engine.correct(warm)
+    jax.block_until_ready(warm.Z_corr)
+    compile_and_first = time.perf_counter() - t0
+
+    # Timed rounds (continue from the warmed state so convergence state is
+    # realistic; early_stop disabled above so rounds don't vanish).
+    t0 = time.perf_counter()
+    state = warm
+    for _ in range(max_iter):
+        state = engine.cluster(state)
+        state = engine.correct(state)
+    jax.block_until_ready(state.Z_corr)
+    elapsed = time.perf_counter() - t0
+
+    per_iter = elapsed / max_iter
+    cells_per_sec = n_cells / per_iter
+    n_devices = jax.device_count()
+
+    result = {
+        "metric": "cells_per_sec_per_chip_per_harmony_iter",
+        "value": round(cells_per_sec / n_devices, 1),
+        "unit": "cells/s/chip",
+        "n_cells": n_cells,
+        "d": d,
+        "K": cfg.K,
+        "n_batches": n_batches,
+        "seconds_per_iter": round(per_iter, 4),
+        "first_iter_with_compile_s": round(compile_and_first, 2),
+        "n_devices": n_devices,
+        "platform": jax.devices()[0].platform,
+    }
+    if baseline_cells_per_sec:
+        result["vs_baseline"] = round(
+            result["value"] / baseline_cells_per_sec, 3
+        )
+    return result

@@ -1,0 +1,110 @@
+"""Command-line interface: run Harmony integration on saved matrices.
+
+Usage:
+    harmony-tpu run --embeddings emb.npy --meta meta.csv --vars dataset \
+        --out corrected.npy [--nclust 50] [--theta 2] [--max-iter 10]
+    harmony-tpu bench [--cells 100000] [--dims 50] [--batches 10]
+
+The embeddings file may be ``.npy`` (cells x dims) or ``.csv``; metadata is a
+CSV with a header naming the covariates.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _load_matrix(path: str) -> np.ndarray:
+    if path.endswith(".npy"):
+        return np.load(path)
+    return np.loadtxt(path, delimiter=",", skiprows=1)
+
+
+def _load_meta(path: str):
+    with open(path, newline="") as fh:
+        reader = csv.reader(fh)
+        header = next(reader)
+        rows = list(reader)
+    cols = {h: np.array([r[i] for r in rows]) for i, h in enumerate(header)}
+    return cols
+
+
+def _cmd_run(args) -> int:
+    from .api import run_harmony
+    from .config import harmony_options
+
+    Z = _load_matrix(args.embeddings)
+    meta = _load_meta(args.meta)
+    theta = None
+    if args.theta is not None:
+        theta = [float(t) for t in args.theta.split(",")]
+        if len(theta) == 1:
+            theta = theta[0]
+    t0 = time.perf_counter()
+    out = run_harmony(
+        Z,
+        meta,
+        args.vars.split(","),
+        theta=theta,
+        nclust=args.nclust,
+        lamb=args.lamb,
+        max_iter=args.max_iter,
+        seed=args.seed,
+        verbose=args.verbose,
+        options=harmony_options(),
+    )
+    dt = time.perf_counter() - t0
+    np.save(args.out, out)
+    print(f"wrote {args.out}  shape={out.shape}  ({dt:.2f}s)")
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    from .bench import run_bench
+
+    result = run_bench(
+        n_cells=args.cells, d=args.dims, n_batches=args.batches,
+        nclust=args.nclust, max_iter=args.max_iter, seed=args.seed,
+    )
+    print(json.dumps(result))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="harmony-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="run Harmony on saved matrices")
+    pr.add_argument("--embeddings", required=True)
+    pr.add_argument("--meta", required=True)
+    pr.add_argument("--vars", required=True, help="comma-separated covariates")
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--nclust", type=int, default=None)
+    pr.add_argument("--theta", default=None)
+    pr.add_argument("--lamb", type=float, default=None)
+    pr.add_argument("--max-iter", type=int, default=10)
+    pr.add_argument("--seed", type=int, default=0)
+    pr.add_argument("--verbose", action="store_true")
+    pr.set_defaults(fn=_cmd_run)
+
+    pb = sub.add_parser("bench", help="synthetic benchmark")
+    pb.add_argument("--cells", type=int, default=100_000)
+    pb.add_argument("--dims", type=int, default=50)
+    pb.add_argument("--batches", type=int, default=10)
+    pb.add_argument("--nclust", type=int, default=100)
+    pb.add_argument("--max-iter", type=int, default=2)
+    pb.add_argument("--seed", type=int, default=0)
+    pb.set_defaults(fn=_cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,230 @@
+"""Configuration for the TPU-native Harmony engine.
+
+Two-tier configuration mirroring the reference API surface:
+
+* First-class arguments of :func:`harmony_tpu.run_harmony` (reference:
+  ``RunHarmony.default``, ``R/ui.R:91-107``).
+* Advanced options via :func:`harmony_options` (reference:
+  ``R/harmony_option.R:33-55``), validated the same way.
+
+The engine itself receives a fully-resolved, hashable :class:`HarmonyConfig`
+(the analog of the flat positional config handed to the C++ engine's
+``setup()``, ``src/harmony.cpp:29-33``) so every jitted step function can
+close over it statically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+class HarmonyConfigError(ValueError):
+    """Raised on invalid user configuration (reference: R ``stop()`` paths)."""
+
+
+# Legacy RunHarmony arguments that hard-error with migration advice
+# (reference: ``check_legacy_args`` / ``legacy_error``, R/harmony_option.R:67-132).
+_LEGACY_ARGS = {
+    "do_pca": (
+        "The parameters do_pca and npcs have been dropped from the run_harmony "
+        "API. Pass cell embeddings directly."
+    ),
+    "npcs": (
+        "The parameters do_pca and npcs have been dropped from the run_harmony "
+        "API. Pass cell embeddings directly."
+    ),
+    "tau": (
+        "The parameter tau has been dropped from the run_harmony API. "
+        "Set it via harmony_options(tau=...)."
+    ),
+    "block.size": (
+        "The parameter block.size has been dropped from the run_harmony API. "
+        "Set it via harmony_options(block_size=...)."
+    ),
+    "block_size": (
+        "The parameter block_size has been dropped from the run_harmony API. "
+        "Set it via harmony_options(block_size=...)."
+    ),
+    "max.iter.harmony": (
+        "The parameter max.iter.harmony is replaced with parameter max_iter."
+    ),
+    "max_iter_harmony": (
+        "The parameter max_iter_harmony is replaced with parameter max_iter."
+    ),
+    "max.iter.cluster": (
+        "The parameter max.iter.cluster has been dropped from the run_harmony "
+        "API. Set it via harmony_options(max_iter_cluster=...)."
+    ),
+    "epsilon.cluster": (
+        "The parameter epsilon.cluster has been dropped from the run_harmony "
+        "API. Set it via harmony_options(epsilon_cluster=...)."
+    ),
+    "epsilon.harmony": (
+        "The parameter epsilon.harmony has been dropped from the run_harmony "
+        "API. Use early_stop, or harmony_options(epsilon_harmony=...)."
+    ),
+}
+
+
+def check_legacy_args(**kwargs) -> None:
+    """Reject dropped legacy arguments with actionable messages.
+
+    Mirrors ``check_legacy_args`` (R/harmony_option.R:67-81): legacy names
+    raise their migration message; any other unknown argument raises a
+    generic unhandled-argument error.
+    """
+    for name in kwargs:
+        if name in _LEGACY_ARGS:
+            raise HarmonyConfigError(_LEGACY_ARGS[name])
+    if kwargs:
+        bad = ", ".join(sorted(kwargs))
+        raise HarmonyConfigError(
+            f"Argument(s) {bad} are unhandled. Please refer to the "
+            "documentation for the valid harmony options."
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class HarmonyOptions:
+    """Advanced options (reference ``harmony_options()``, R/harmony_option.R:33-55).
+
+    Defaults match the reference exactly: alpha=0.2, tau=0, block_size=0.05,
+    max_iter_cluster=4, epsilon_cluster=1e-3, epsilon_harmony=1e-2,
+    batch_prop_cutoff=1e-5 (R/harmony_option.R:34-40).
+    """
+
+    alpha: float = 0.2
+    tau: float = 0.0
+    block_size: float = 0.05
+    max_iter_cluster: int = 4
+    epsilon_cluster: float = 1e-3
+    epsilon_harmony: float = 1e-2
+    batch_prop_cutoff: float = 1e-5
+
+    def __post_init__(self):
+        # validate_block.size (R/harmony_option.R:58-63)
+        if not (0.0 < self.block_size <= 1.0):
+            raise HarmonyConfigError(
+                "block_size should be set between 0 and 1 (0 < block_size <= 1)"
+            )
+
+
+def harmony_options(**kwargs) -> HarmonyOptions:
+    """Construct advanced options; the analog of R ``harmony_options()``."""
+    return HarmonyOptions(**kwargs)
+
+
+@dataclasses.dataclass(frozen=True)
+class HarmonyConfig:
+    """Fully-resolved static engine configuration.
+
+    Every field is hashable so jitted step functions can specialise on it.
+    This is the analog of the state the C++ engine copies out of ``setup()``
+    (src/harmony.cpp:29-111) minus the array-valued hyperparameters, which
+    live in :class:`harmony_tpu.state.HarmonyState` as device arrays.
+    """
+
+    # Problem shape
+    N: int  # number of cells
+    d: int  # embedding dimension
+    K: int  # number of clusters
+    B: int  # total one-hot design rows = sum(B_vec)
+    B_vec: Tuple[int, ...]  # levels per covariate (R/ui.R:219-221)
+
+    # Driver / convergence
+    max_iter_harmony: int = 10
+    max_iter_cluster: int = 4
+    epsilon_cluster: float = 1e-3
+    epsilon_harmony: float = 1e-2
+    window_size: int = 3  # sliding window (src/harmony.cpp:19)
+
+    # Correction
+    alpha: float = 0.2
+    batch_prop_cutoff: float = 1e-5
+    lambda_estimation: bool = False  # lambda sentinel -1 mode (src/harmony.cpp:75-79)
+
+    # Clustering block updates
+    block_size: float = 0.05
+
+    # Numerics
+    dtype: str = "float32"  # compute dtype for the hot path
+    matmul_precision: str = "float32"  # 'bfloat16'|'float32'|'highest' for dot ops
+    ridge_solver: str = "cholesky"  # 'cholesky' | 'solve' | 'arrowhead'
+
+    verbose: bool = False
+
+    def __post_init__(self):
+        if self.N < 6:
+            # src/harmony.cpp:83-85
+            raise HarmonyConfigError("Refusing to run with less than 6 cells")
+        if sum(self.B_vec) != self.B:
+            raise HarmonyConfigError("B must equal sum(B_vec)")
+
+    # ---- Derived block geometry (src/harmony.cpp:279-299) -----------------
+
+    @property
+    def effective_block_size(self) -> float:
+        """N < 40 forces block_size to 0.2 (src/harmony.cpp:86-88)."""
+        if self.N < 40:
+            return 0.2
+        return self.block_size
+
+    @property
+    def n_blocks(self) -> int:
+        """ceil(1 / block_size) (src/harmony.cpp:280)."""
+        return int(math.ceil(1.0 / self.effective_block_size - 1e-12))
+
+    @property
+    def cells_per_block(self) -> int:
+        """floor(N * block_size) (src/harmony.cpp:281)."""
+        return int(self.N * self.effective_block_size)
+
+    @property
+    def last_block_size(self) -> int:
+        """The final block absorbs the remainder (src/harmony.cpp:296-300)."""
+        return self.N - (self.n_blocks - 1) * self.cells_per_block
+
+    @property
+    def max_block_size(self) -> int:
+        return max(self.cells_per_block, self.last_block_size)
+
+    @property
+    def covariate_offsets(self) -> Tuple[int, ...]:
+        """Start row of each covariate in the stacked design (src/harmony.cpp:96-97)."""
+        offs = []
+        acc = 0
+        for b in self.B_vec:
+            offs.append(acc)
+            acc += b
+        return tuple(offs)
+
+    @property
+    def n_covariates(self) -> int:
+        return len(self.B_vec)
+
+    @property
+    def norm_const(self) -> float:
+        """Objective scaling 2000/N (src/harmony.cpp:159)."""
+        return 2000.0 / float(self.N)
+
+    # ---- Trace capacities (fixed-shape buffers held in HarmonyState) ------
+
+    @property
+    def kmeans_trace_capacity(self) -> int:
+        # 1 entry from init + up to max_iter_cluster per harmony round
+        return 1 + self.max_iter_harmony * self.max_iter_cluster
+
+    @property
+    def harmony_trace_capacity(self) -> int:
+        # 1 entry from init + 1 per harmony round
+        return 1 + self.max_iter_harmony
+
+
+def default_nclust(n_cells: int) -> int:
+    """K heuristic ``min(round(N/30), 100)`` (R/ui.R:192-194).
+
+    R's ``round`` is round-half-to-even, as is Python 3's built-in.
+    """
+    return min(round(n_cells / 30), 100)

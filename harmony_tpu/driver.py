@@ -1,0 +1,75 @@
+"""Outer Harmony loop: the analog of ``harmonize`` (R/utils.R:15-46).
+
+Host-side driver over the jitted engine phases. One device->host scalar
+sync per round (the convergence flag); everything else stays on device.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import HarmonyConfig
+from .engine import Engine, make_engine
+from .state import HarmonyState
+
+logger = logging.getLogger("harmony_tpu")
+
+
+def harmonize(
+    engine: Engine,
+    state: HarmonyState,
+    max_iter: Optional[int] = None,
+    verbose: bool = False,
+    perms: Optional[np.ndarray] = None,
+) -> HarmonyState:
+    """Run up to ``max_iter`` rounds of (cluster, correct), with early stop.
+
+    ``perms`` optionally injects per-round cell permutations of shape
+    (rounds, max_iter_cluster, N) for trajectory-parity testing.
+    """
+    cfg = engine.cfg
+    if max_iter is None:
+        max_iter = cfg.max_iter_harmony
+    if max_iter < 1:
+        return state
+
+    for it in range(max_iter):
+        t0 = time.perf_counter()
+        if perms is not None:
+            state = engine.cluster(state, perms=jnp.asarray(perms[it]))
+        else:
+            state = engine.cluster(state)
+        state = engine.correct(state)
+        converged = bool(engine.harmony_converged(state))
+        if verbose:
+            obj = float(state.objective_harmony[int(state.n_harmony) - 1])
+            logger.info(
+                "Harmony %d/%d  objective=%.6f  (%.3fs)",
+                it + 1, max_iter, obj, time.perf_counter() - t0,
+            )
+        if converged:
+            if verbose:
+                logger.info("Harmony converged after %d iterations", it + 1)
+            break
+    return state
+
+
+def run(
+    cfg: HarmonyConfig,
+    state: HarmonyState,
+    verbose: bool = False,
+    Y0: Optional[np.ndarray] = None,
+    perms: Optional[np.ndarray] = None,
+) -> HarmonyState:
+    """init_cluster + harmonize, returning the final state."""
+    engine = make_engine(cfg)
+    if Y0 is not None:
+        state = engine.init_cluster_from(state, jnp.asarray(Y0))
+    else:
+        state = engine.init_cluster(state)
+    return harmonize(engine, state, verbose=verbose, perms=perms)

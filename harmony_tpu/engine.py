@@ -1,0 +1,229 @@
+"""Engine phases: init_cluster, cluster (E-step rounds), correct (M-step).
+
+Functional analogs of the C++ engine methods ``init_cluster_cpp``
+(src/harmony.cpp:131-156), ``cluster_cpp`` (src/harmony.cpp:208-262) and
+``moe_correct_ridge_cpp`` (src/harmony.cpp:345-638). Each is a pure
+``state -> state`` function, jitted per static config by
+:func:`make_engine`. Convergence bookkeeping (both the kmeans sliding
+window and the harmony criterion, src/harmony.cpp:173-205) runs inside jit
+on the fixed-capacity trace buffers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import HarmonyConfig
+from .state import HarmonyState
+from . import ops
+from .ops.normalize import l2_normalize_columns
+
+
+def _push_kmeans_objective(cfg: HarmonyConfig, state: HarmonyState) -> HarmonyState:
+    """Compute the objective and append to the kmeans traces."""
+    tot, dist_t, ent_t, cross_t = ops.compute_objective(
+        cfg, state.R, state.dist, state.O, state.E, state.codes, state.sigma,
+        state.theta,
+    )
+    i = state.n_kmeans
+    return dataclasses.replace(
+        state,
+        objective_kmeans=state.objective_kmeans.at[i].set(tot),
+        objective_kmeans_dist=state.objective_kmeans_dist.at[i].set(dist_t),
+        objective_kmeans_entropy=state.objective_kmeans_entropy.at[i].set(ent_t),
+        objective_kmeans_cross=state.objective_kmeans_cross.at[i].set(cross_t),
+        n_kmeans=i + 1,
+    )
+
+
+def _assign_from_centroids(cfg: HarmonyConfig, state: HarmonyState) -> HarmonyState:
+    """Recompute dist, R, E, O from (Y, Z_corr) (src/harmony.cpp:141-150, 220-227)."""
+    Z = l2_normalize_columns(state.Z_corr)
+    dist = ops.compute_distances(state.Y, Z)
+    R = ops.initial_assignments(dist, state.sigma)
+    E = ops.compute_E(R, state.Pr_b)
+    O = ops.compute_O(R, state.codes, cfg.covariate_offsets, cfg.B)
+    return dataclasses.replace(state, Z_corr=Z, dist=dist, R=R, E=E, O=O)
+
+
+def init_cluster(cfg: HarmonyConfig, state: HarmonyState) -> HarmonyState:
+    """K-means centroid init + first assignments (src/harmony.cpp:131-156)."""
+    key, sub = jax.random.split(state.key)
+    Y = ops.kmeans_centers(sub, state.Z_corr, cfg.K)
+    Y = l2_normalize_columns(Y)
+    state = dataclasses.replace(state, Y=Y, key=key)
+    state = _assign_from_centroids(cfg, state)
+    state = _push_kmeans_objective(cfg, state)
+    # objective_harmony gets the init objective (src/harmony.cpp:153)
+    return dataclasses.replace(
+        state,
+        objective_harmony=state.objective_harmony.at[state.n_harmony].set(
+            state.objective_kmeans[state.n_kmeans - 1]
+        ),
+        n_harmony=state.n_harmony + 1,
+    )
+
+
+def init_cluster_from(
+    cfg: HarmonyConfig, state: HarmonyState, Y0: jnp.ndarray
+) -> HarmonyState:
+    """Init with injected centroids (parity hook; replaces the R-RNG-coupled
+    k-means seeding when comparing trajectories against the reference)."""
+    Y = l2_normalize_columns(Y0.astype(state.Z_corr.dtype))
+    state = dataclasses.replace(state, Y=Y)
+    state = _assign_from_centroids(cfg, state)
+    state = _push_kmeans_objective(cfg, state)
+    return dataclasses.replace(
+        state,
+        objective_harmony=state.objective_harmony.at[state.n_harmony].set(
+            state.objective_kmeans[state.n_kmeans - 1]
+        ),
+        n_harmony=state.n_harmony + 1,
+    )
+
+
+def _kmeans_window_converged(cfg: HarmonyConfig, state: HarmonyState) -> jnp.ndarray:
+    """Sliding-window clustering convergence (src/harmony.cpp:176-189).
+
+    obj_new = sum of the last ``window_size`` kmeans objectives;
+    obj_old = the window one step earlier; converged when the relative
+    change is below epsilon_cluster.
+    """
+    w = cfg.window_size
+    i = state.n_kmeans  # number of valid entries
+    idx = i - 1 - jnp.arange(w)
+    obj_new = jnp.sum(state.objective_kmeans[idx])
+    obj_old = jnp.sum(state.objective_kmeans[idx - 1])
+    return jnp.abs(obj_old - obj_new) / jnp.abs(obj_old) < cfg.epsilon_cluster
+
+
+def cluster(
+    cfg: HarmonyConfig,
+    state: HarmonyState,
+    perms: Optional[jnp.ndarray] = None,
+) -> HarmonyState:
+    """One clustering phase: up to ``max_iter_cluster`` block-update rounds.
+
+    Mirrors ``cluster_cpp`` (src/harmony.cpp:208-262): on re-entry after a
+    correction (detected via the harmony-trace cursor, src/harmony.cpp:214),
+    re-normalise Z_corr and recompute R/E/O from the current centroids; then
+    iterate update_R + objective with windowed early stopping (first checked
+    when ``iter > window_size``).
+
+    ``perms`` optionally injects the (max_iter_cluster, N) cell permutations
+    (parity hook); otherwise they are drawn from the state PRNG key.
+    """
+    # Re-entry re-estimation (src/harmony.cpp:214-228). The trace cursor is
+    # 1 right after init, so this triggers for every round but the first.
+    state = jax.lax.cond(
+        state.n_harmony != 1,
+        lambda s: _assign_from_centroids(cfg, s),
+        lambda s: s,
+        state,
+    )
+
+    key, sub = jax.random.split(state.key)
+    if perms is None:
+        perm_keys = jax.random.split(sub, cfg.max_iter_cluster)
+        perms = jax.vmap(
+            lambda k: jax.random.permutation(k, cfg.N).astype(jnp.int32)
+        )(perm_keys)
+    state = dataclasses.replace(state, key=key)
+
+    def cond(carry):
+        state, it, done = carry
+        return (~done) & (it < cfg.max_iter_cluster)
+
+    def body(carry):
+        state, it, _ = carry
+        perm = perms[it]
+        R, E, O = ops.block_update_R(
+            cfg, state.R, state.dist, state.E, state.O, state.codes,
+            state.Pr_b, state.sigma, state.theta, perm,
+        )
+        state = dataclasses.replace(state, R=R, E=E, O=O)
+        state = _push_kmeans_objective(cfg, state)
+        done = jnp.where(
+            it > cfg.window_size, _kmeans_window_converged(cfg, state), False
+        )
+        return (state, it + 1, done)
+
+    state, iters, _ = jax.lax.while_loop(
+        cond, body, (state, jnp.int32(0), jnp.array(False))
+    )
+
+    # kmeans_rounds push + harmony objective push (src/harmony.cpp:259-260)
+    state = dataclasses.replace(
+        state,
+        kmeans_rounds=state.kmeans_rounds.at[state.n_rounds].set(iters),
+        objective_harmony=state.objective_harmony.at[state.n_harmony].set(
+            state.objective_kmeans[state.n_kmeans - 1]
+        ),
+        n_harmony=state.n_harmony + 1,
+    )
+    return state
+
+
+def correct(cfg: HarmonyConfig, state: HarmonyState) -> HarmonyState:
+    """M-step: MoE ridge correction + centroid refresh (src/harmony.cpp:345-638)."""
+    Z_corr, Y_new, _ = ops.moe_correct_ridge(
+        cfg, state.Z_orig, state.R, state.O, state.E, state.codes,
+        state.batch_sizes, state.lamb, state.Y,
+    )
+    return dataclasses.replace(
+        state, Z_corr=Z_corr, Y=Y_new, n_rounds=state.n_rounds + 1
+    )
+
+
+def harmony_converged(cfg: HarmonyConfig, state: HarmonyState) -> jnp.ndarray:
+    """Harmony-level convergence (src/harmony.cpp:190-200)."""
+    i = state.n_harmony
+    obj_old = state.objective_harmony[i - 2]
+    obj_new = state.objective_harmony[i - 1]
+    return (obj_old - obj_new) / jnp.abs(obj_old) < cfg.epsilon_harmony
+
+
+@dataclasses.dataclass(frozen=True)
+class Engine:
+    """Jitted engine phases specialised to one static config."""
+
+    cfg: HarmonyConfig
+    init_cluster: callable
+    init_cluster_from: callable
+    cluster: callable
+    correct: callable
+    harmony_converged: callable
+
+
+def _with_precision(cfg: HarmonyConfig, fn):
+    """Run ``fn`` under the configured default matmul precision.
+
+    On TPU, dots default to bf16 inputs; the engine's parity contract needs
+    fp32-equivalent matmuls (cfg.matmul_precision='float32' -> 3-pass bf16;
+    'highest' -> 6-pass). The context must wrap *tracing*, hence inside jit.
+    """
+
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+def make_engine(cfg: HarmonyConfig) -> Engine:
+    def jit(fn):
+        return jax.jit(_with_precision(cfg, partial(fn, cfg)))
+
+    return Engine(
+        cfg=cfg,
+        init_cluster=jit(init_cluster),
+        init_cluster_from=jit(init_cluster_from),
+        cluster=jit(cluster),
+        correct=jit(correct),
+        harmony_converged=jit(harmony_converged),
+    )

@@ -1,0 +1,84 @@
+"""Centroid initialisation: randomized seeding + Lloyd rounds.
+
+TPU-native re-implementation of ``kmeans_centers`` (src/utils.cpp:53-64):
+
+1. Seeding (``initialize_centroids``, src/utils.cpp:10-49): start from K
+   random cells; for each slot k, compute distances of all cells to the
+   current slot-k point and draw a replacement by the exponential-race trick
+   (``argmin(-log(u)/dist)`` samples proportionally to distance); previously
+   chosen cells are excluded (reference dedupes via a retry set).
+2. 10 Lloyd iterations of Euclidean k-means seeded with those centroids
+   (``arma::kmeans(..., keep_existing, 1 iter) x 10``, src/utils.cpp:57-61);
+   empty clusters keep their previous centroid.
+
+All data-dependent choices run on explicit JAX PRNG keys (the reference
+uses R's global RNG, R/ui.R:264-266; trajectory parity therefore requires
+injecting centroids, see ``init_override`` in the driver).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _seed_centroids(key: jax.Array, X: jnp.ndarray, K: int) -> jnp.ndarray:
+    """Distance-weighted random seeding (src/utils.cpp:10-49). X is (d, N)."""
+    d, N = X.shape
+    k0, k1 = jax.random.split(key)
+    init_idx = jax.random.randint(k0, (K,), 0, N)
+    Y0 = X[:, init_idx]  # (d, K)
+    race_keys = jax.random.split(k1, K)
+
+    def body(carry, inp):
+        Y, chosen = carry
+        k, kk = inp
+        y = jax.lax.dynamic_slice_in_dim(Y, k, 1, axis=1)  # (d, 1)
+        dist = jnp.abs(2.0 * (1.0 - (y.T @ X)[0]))  # (N,)
+        u = jax.random.uniform(
+            kk, (N,), minval=jnp.finfo(X.dtype).tiny, maxval=1.0
+        )
+        prob = -jnp.log(u) / jnp.maximum(dist, jnp.finfo(X.dtype).tiny)
+        prob = jnp.where(chosen, jnp.inf, prob)  # dedupe (src/utils.cpp:39-43)
+        idx = jnp.argmin(prob)
+        chosen = chosen.at[idx].set(True)
+        x_col = jax.lax.dynamic_slice_in_dim(X, idx, 1, axis=1)
+        Y = jax.lax.dynamic_update_slice_in_dim(Y, x_col, k, axis=1)
+        return (Y, chosen), None
+
+    chosen0 = jnp.zeros((N,), dtype=bool)
+    ks = jnp.arange(K, dtype=jnp.int32)
+    (Y, _), _ = jax.lax.scan(body, (Y0, chosen0), (ks, race_keys))
+    return Y
+
+
+def _lloyd_round(X: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
+    """One Euclidean Lloyd iteration; empty clusters keep old centroids."""
+    # argmin_k ||x - y_k||^2 = argmin_k (||y_k||^2 - 2 y_k^T x)
+    g = jnp.dot(Y.T, X, preferred_element_type=jnp.float32)  # (K, N)
+    sq = jnp.sum(
+        Y.astype(jnp.float32) ** 2, axis=0
+    )  # (K,)
+    assign = jnp.argmin(sq[:, None] - 2.0 * g, axis=0)  # (N,)
+    onehot = jax.nn.one_hot(assign, Y.shape[1], dtype=jnp.float32)  # (N, K)
+    counts = jnp.sum(onehot, axis=0)  # (K,)
+    sums = jnp.dot(
+        X.astype(jnp.float32), onehot, preferred_element_type=jnp.float32
+    )  # (d, K)
+    Y_new = sums / jnp.maximum(counts, 1.0)[None, :]
+    return jnp.where(counts[None, :] > 0, Y_new, Y.astype(jnp.float32)).astype(
+        X.dtype
+    )
+
+
+def kmeans_centers(
+    key: jax.Array, X: jnp.ndarray, K: int, iterations: int = 10
+) -> jnp.ndarray:
+    """Seed + ``iterations`` Lloyd rounds (src/utils.cpp:53-64). X is (d, N)."""
+    Y = _seed_centroids(key, X, K)
+
+    def body(Y, _):
+        return _lloyd_round(X, Y), None
+
+    Y, _ = jax.lax.scan(body, Y, None, length=iterations)
+    return Y

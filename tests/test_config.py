@@ -1,0 +1,164 @@
+"""Config / preprocessing unit tests (reference semantics: R/ui.R, R/harmony_option.R)."""
+
+import numpy as np
+import pytest
+
+from harmony_tpu.config import (
+    HarmonyConfig,
+    HarmonyConfigError,
+    HarmonyOptions,
+    check_legacy_args,
+    default_nclust,
+    harmony_options,
+)
+from harmony_tpu.preprocess import (
+    build_design,
+    expand_hyperparams,
+    orient_embedding,
+)
+
+
+def test_default_options_match_reference():
+    o = harmony_options()
+    assert o.alpha == 0.2
+    assert o.tau == 0.0
+    assert o.block_size == 0.05
+    assert o.max_iter_cluster == 4
+    assert o.epsilon_cluster == 1e-3
+    assert o.epsilon_harmony == 1e-2
+    assert o.batch_prop_cutoff == 1e-5
+
+
+def test_block_size_validation():
+    with pytest.raises(HarmonyConfigError):
+        harmony_options(block_size=0.0)
+    with pytest.raises(HarmonyConfigError):
+        harmony_options(block_size=1.5)
+    assert harmony_options(block_size=1.0).block_size == 1.0
+
+
+@pytest.mark.parametrize(
+    "arg", ["do_pca", "npcs", "tau", "max_iter_harmony", "epsilon.cluster"]
+)
+def test_legacy_args_error(arg):
+    with pytest.raises(HarmonyConfigError):
+        check_legacy_args(**{arg: 1})
+
+
+def test_unknown_arg_errors():
+    with pytest.raises(HarmonyConfigError):
+        check_legacy_args(bogus_argument=3)
+
+
+def test_default_nclust():
+    # min(round(N/30), 100) (R/ui.R:192-194)
+    assert default_nclust(300) == 10
+    assert default_nclust(9478) == 100
+    assert default_nclust(100000) == 100
+    assert default_nclust(45) == 2  # round-half-even: round(1.5) = 2
+
+
+def test_min_cells_guard():
+    with pytest.raises(HarmonyConfigError):
+        HarmonyConfig(N=5, d=2, K=2, B=2, B_vec=(2,))
+
+
+def test_small_n_block_size_forced():
+    cfg = HarmonyConfig(N=30, d=2, K=2, B=2, B_vec=(2,))
+    assert cfg.effective_block_size == 0.2
+
+
+def test_block_geometry_matches_reference():
+    # N=9478, bs=0.05: cpb=473, 20 blocks, last = 9478 - 19*473 = 491
+    cfg = HarmonyConfig(N=9478, d=20, K=100, B=2, B_vec=(2,))
+    assert cfg.n_blocks == 20
+    assert cfg.cells_per_block == 473
+    assert cfg.last_block_size == 491
+    # bs=0.3: ceil(1/0.3)=4 blocks, last block smaller than cpb
+    cfg = HarmonyConfig(N=100, d=5, K=3, B=2, B_vec=(2,), block_size=0.3)
+    assert cfg.n_blocks == 4
+    assert cfg.cells_per_block == 30
+    assert cfg.last_block_size == 10
+    assert cfg.max_block_size == 30
+
+
+def test_build_design_vector_coercion():
+    labels = np.array(["a", "b", "a", "b", "c", "a"])
+    dm = build_design(labels, None)
+    assert dm.names == ["batch_variable"]
+    assert dm.B_vec == (3,)
+    assert dm.codes.shape == (1, 6)
+    np.testing.assert_array_equal(dm.codes[0], [0, 1, 0, 1, 2, 0])
+    np.testing.assert_array_equal(dm.batch_sizes(), [3, 2, 1])
+
+
+def test_build_design_missing_var_errors():
+    meta = {"dataset": np.array(["a", "b", "a"])}
+    with pytest.raises(HarmonyConfigError):
+        build_design(meta, ["fake_variable"])
+    with pytest.raises(HarmonyConfigError):
+        build_design(meta, None)
+
+
+def test_build_design_multi_covariate_offsets():
+    meta = {
+        "dataset": np.array(["x", "y"] * 5),
+        "donor": np.array(["d1", "d2", "d3", "d1", "d2"] * 2),
+    }
+    dm = build_design(meta, ["dataset", "donor"])
+    assert dm.B_vec == (2, 3)
+    assert dm.offsets == (0, 2)
+    assert dm.B == 5
+    gc = dm.global_codes
+    assert gc[1].min() >= 2
+
+
+def test_orient_embedding():
+    Z = np.arange(12.0).reshape(6, 2)  # 6 cells x 2 dims
+    out = orient_embedding(Z, 6)
+    assert out.shape == (2, 6)
+    out2 = orient_embedding(Z.T, 6)
+    assert out2.shape == (2, 6)
+    with pytest.raises(HarmonyConfigError):
+        orient_embedding(Z, 5)
+
+
+def test_expand_hyperparams_defaults():
+    meta = {"dataset": np.array(["a", "b", "a", "b"] * 10)}
+    dm = build_design(meta, ["dataset"])
+    hp = expand_hyperparams(dm, nclust=5, theta=None, sigma=0.1, lamb=1.0, tau=0)
+    np.testing.assert_allclose(hp.theta, [2.0, 2.0])
+    np.testing.assert_allclose(hp.sigma, [0.1] * 5)
+    np.testing.assert_allclose(hp.lamb, [0.0, 1.0, 1.0])
+    assert not hp.lambda_estimation
+
+
+def test_expand_hyperparams_lambda_modes():
+    meta = {
+        "a": np.array(["x", "y"] * 6),
+        "b": np.array(["p", "q", "r"] * 4),
+    }
+    dm = build_design(meta, ["a", "b"])
+    # estimation mode
+    hp = expand_hyperparams(dm, 5, None, 0.1, None, 0)
+    assert hp.lambda_estimation
+    # per-covariate vector: expanded per level with 0 intercept (R/ui.R:239-248)
+    hp = expand_hyperparams(dm, 5, [1.0, 1.0], 0.1, [2.0, 3.0], 0)
+    np.testing.assert_allclose(hp.lamb, [0.0, 2.0, 2.0, 3.0, 3.0, 3.0])
+    # wrong length errors (test_integration.R error path)
+    with pytest.raises(HarmonyConfigError):
+        expand_hyperparams(dm, 5, [1.0, 1.0], 0.1, [1.0, 2.0, 3.0], 0)
+    with pytest.raises(HarmonyConfigError):
+        expand_hyperparams(dm, 5, [1.0, 1.0], 0.1, [-1.0], 0)
+
+
+def test_theta_tau_scaling():
+    meta = {"dataset": np.array(["a"] * 30 + ["b"] * 10)}
+    dm = build_design(meta, ["dataset"])
+    hp = expand_hyperparams(dm, nclust=4, theta=2.0, sigma=0.1, lamb=1.0, tau=5)
+    # theta * (1 - exp(-(N_b/(K*tau))^2)) (R/ui.R:258)
+    expect = 2.0 * (1.0 - np.exp(-((np.array([30.0, 10.0]) / 20.0) ** 2)))
+    np.testing.assert_allclose(hp.theta, expect)
+    # tau=0 leaves theta unscaled
+    hp0 = expand_hyperparams(dm, 4, 2.0, 0.1, 1.0, 0)
+    np.testing.assert_allclose(hp0.theta, [2.0, 2.0])
