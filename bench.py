@@ -1,0 +1,40 @@
+#!/usr/bin/env python
+"""Driver benchmark: prints ONE JSON line with the headline metric.
+
+Headline: cells/sec/chip per Harmony iteration on a synthetic large-N
+workload (the reference's only published number is "~4 seconds" for 9,478
+cells x 20 PCs on CPU, README.md:44 — recorded here as the baseline:
+9478 cells / 4 s / 10 rounds-ish ~= per-iteration throughput; see
+BASELINE.md). ``vs_baseline`` is measured throughput over the reference's
+implied CPU throughput on the quickstart dataset.
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> int:
+    size = int(os.environ.get("HARMONY_BENCH_CELLS", 500_000))
+    d = int(os.environ.get("HARMONY_BENCH_DIMS", 50))
+    n_batches = int(os.environ.get("HARMONY_BENCH_BATCHES", 10))
+    nclust = int(os.environ.get("HARMONY_BENCH_K", 100))
+
+    from harmony_tpu.bench import run_bench
+
+    # Reference baseline: quickstart "~4 seconds" for 9,478 cells
+    # (README.md:44). The run does ~5 harmony rounds with several kmeans
+    # iterations each; treat it as 9478 cells / 4s = ~2370 cells/s/chip
+    # aggregate -> per-harmony-iteration baseline ~= 9478 / (4/5) ~= 11848.
+    baseline = 9478.0 / (4.0 / 5.0)
+
+    result = run_bench(
+        n_cells=size, d=d, n_batches=n_batches, nclust=nclust, max_iter=3,
+        baseline_cells_per_sec=baseline,
+    )
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -60,15 +60,16 @@ class HarmonyResult:
     def B(self) -> int:
         return self.config.B
 
-    # -- arrays (host copies, reference getters src/harmony.cpp:640-669) ---
+    # -- arrays (host copies, reference getters src/harmony.cpp:640-669;
+    #    trailing sharding-pad columns are sliced away) -------------------
     @property
     def Z_corr(self) -> np.ndarray:
         """(d, N) corrected embedding (``getZcorr``)."""
-        return np.asarray(self.state.Z_corr)
+        return np.asarray(self.state.Z_corr)[:, : self.config.N]
 
     @property
     def Z_orig(self) -> np.ndarray:
-        return np.asarray(self.state.Z_orig)
+        return np.asarray(self.state.Z_orig)[:, : self.config.N]
 
     @property
     def Y(self) -> np.ndarray:
@@ -78,7 +79,7 @@ class HarmonyResult:
     @property
     def R(self) -> np.ndarray:
         """(K, N) soft assignments (``getR``)."""
-        return np.asarray(self.state.R)
+        return np.asarray(self.state.R)[:, : self.config.N]
 
     @property
     def O(self) -> np.ndarray:
@@ -136,6 +137,7 @@ def run_harmony(
     dtype: str = "float32",
     ridge_solver: str = "cholesky",
     init_Y: Optional[np.ndarray] = None,
+    mesh=None,
     **legacy,
 ):
     """Run Harmony integration on a cell-embedding matrix.
@@ -145,6 +147,10 @@ def run_harmony(
     ``options`` the reference's ``.options``/``harmony_options()``, and
     ``seed`` replaces R's implicit global RNG (R/ui.R:264-266). ``init_Y``
     injects initial centroids (d x K or K x d) for trajectory parity runs.
+
+    ``mesh`` distributes the run: pass a 1-D ``jax.sharding.Mesh`` (see
+    :func:`harmony_tpu.sharding.make_mesh`) or ``"auto"`` to shard cells
+    data-parallel over all local devices.
 
     Returns (N, d) corrected embeddings, or a :class:`HarmonyResult` when
     ``return_object=True``.
@@ -171,12 +177,25 @@ def run_harmony(
         dtype=dtype,
         ridge_solver=ridge_solver,
     )
+    if mesh == "auto":
+        from .sharding import make_mesh
+
+        mesh = make_mesh() if jax.device_count() > 1 else None
+    if mesh is not None:
+        from .sharding import pad_for_mesh
+
+        cfg = pad_for_mesh(cfg, mesh)
+
     hp = expand_hyperparams(
         design, cfg.K, theta, sigma, lamb, options.tau, verbose=verbose
     )
 
     key = jax.random.PRNGKey(seed)
     state = init_state(cfg, Z, design, hp.sigma, hp.theta, hp.lamb, key)
+    if mesh is not None:
+        from .sharding import shard_state
+
+        state = shard_state(state, mesh)
 
     if init_Y is not None:
         init_Y = np.asarray(init_Y, dtype=np.float64)

@@ -127,11 +127,15 @@ class HarmonyConfig:
     """
 
     # Problem shape
-    N: int  # number of cells
+    N: int  # number of cells (logical)
     d: int  # embedding dimension
     K: int  # number of clusters
     B: int  # total one-hot design rows = sum(B_vec)
     B_vec: Tuple[int, ...]  # levels per covariate (R/ui.R:219-221)
+    # Physical cell-axis length: N rounded up so the axis divides the device
+    # mesh. Pad cells carry zero assignment weight everywhere (R == 0) and
+    # are provably inert in every reduction; None means no padding.
+    N_pad: Optional[int] = None
 
     # Driver / convergence
     max_iter_harmony: int = 10
@@ -161,6 +165,13 @@ class HarmonyConfig:
             raise HarmonyConfigError("Refusing to run with less than 6 cells")
         if sum(self.B_vec) != self.B:
             raise HarmonyConfigError("B must equal sum(B_vec)")
+        if self.N_pad is not None and self.N_pad < self.N:
+            raise HarmonyConfigError("N_pad must be >= N")
+
+    @property
+    def Np(self) -> int:
+        """Physical (possibly padded) length of the cell axis."""
+        return self.N if self.N_pad is None else self.N_pad
 
     # ---- Derived block geometry (src/harmony.cpp:279-299) -----------------
 

@@ -46,6 +46,9 @@ def _assign_from_centroids(cfg: HarmonyConfig, state: HarmonyState) -> HarmonySt
     Z = l2_normalize_columns(state.Z_corr)
     dist = ops.compute_distances(state.Y, Z)
     R = ops.initial_assignments(dist, state.sigma)
+    if cfg.Np != cfg.N:
+        # padding cells carry zero weight in every statistic
+        R = R * (jnp.arange(cfg.Np) < cfg.N)[None, :].astype(R.dtype)
     E = ops.compute_E(R, state.Pr_b)
     O = ops.compute_O(R, state.codes, cfg.covariate_offsets, cfg.B)
     return dataclasses.replace(state, Z_corr=Z, dist=dist, R=R, E=E, O=O)
@@ -54,7 +57,7 @@ def _assign_from_centroids(cfg: HarmonyConfig, state: HarmonyState) -> HarmonySt
 def init_cluster(cfg: HarmonyConfig, state: HarmonyState) -> HarmonyState:
     """K-means centroid init + first assignments (src/harmony.cpp:131-156)."""
     key, sub = jax.random.split(state.key)
-    Y = ops.kmeans_centers(sub, state.Z_corr, cfg.K)
+    Y = ops.kmeans_centers(sub, state.Z_corr, cfg.K, n_valid=cfg.N)
     Y = l2_normalize_columns(Y)
     state = dataclasses.replace(state, Y=Y, key=key)
     state = _assign_from_centroids(cfg, state)

@@ -63,7 +63,7 @@ def make_blocks(
     grid = starts[:, None] + pos[None, :]
     valid = pos[None, :] < sizes[:, None]
     safe = jnp.clip(grid, 0, cfg.N - 1)
-    cell_idx = jnp.where(valid, perm[safe], cfg.N)
+    cell_idx = jnp.where(valid, perm[safe], cfg.Np)
     return cell_idx, valid
 
 

@@ -22,21 +22,28 @@ import jax
 import jax.numpy as jnp
 
 
-def _seed_centroids(key: jax.Array, X: jnp.ndarray, K: int) -> jnp.ndarray:
-    """Distance-weighted random seeding (src/utils.cpp:10-49). X is (d, N)."""
+def _seed_centroids(
+    key: jax.Array, X: jnp.ndarray, K: int, n_valid: int
+) -> jnp.ndarray:
+    """Distance-weighted random seeding (src/utils.cpp:10-49). X is (d, N).
+
+    Columns at index >= n_valid are padding and are never selected.
+    """
     d, N = X.shape
     k0, k1 = jax.random.split(key)
-    init_idx = jax.random.randint(k0, (K,), 0, N)
+    init_idx = jax.random.randint(k0, (K,), 0, n_valid)
     Y0 = X[:, init_idx]  # (d, K)
     race_keys = jax.random.split(k1, K)
+
+    Xv = X[:, :n_valid]  # race only over logical cells (pad-invariant draws)
 
     def body(carry, inp):
         Y, chosen = carry
         k, kk = inp
         y = jax.lax.dynamic_slice_in_dim(Y, k, 1, axis=1)  # (d, 1)
-        dist = jnp.abs(2.0 * (1.0 - (y.T @ X)[0]))  # (N,)
+        dist = jnp.abs(2.0 * (1.0 - (y.T @ Xv)[0]))  # (n_valid,)
         u = jax.random.uniform(
-            kk, (N,), minval=jnp.finfo(X.dtype).tiny, maxval=1.0
+            kk, (n_valid,), minval=jnp.finfo(X.dtype).tiny, maxval=1.0
         )
         prob = -jnp.log(u) / jnp.maximum(dist, jnp.finfo(X.dtype).tiny)
         prob = jnp.where(chosen, jnp.inf, prob)  # dedupe (src/utils.cpp:39-43)
@@ -46,13 +53,15 @@ def _seed_centroids(key: jax.Array, X: jnp.ndarray, K: int) -> jnp.ndarray:
         Y = jax.lax.dynamic_update_slice_in_dim(Y, x_col, k, axis=1)
         return (Y, chosen), None
 
-    chosen0 = jnp.zeros((N,), dtype=bool)
+    chosen0 = jnp.zeros((n_valid,), dtype=bool)
     ks = jnp.arange(K, dtype=jnp.int32)
     (Y, _), _ = jax.lax.scan(body, (Y0, chosen0), (ks, race_keys))
     return Y
 
 
-def _lloyd_round(X: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
+def _lloyd_round(
+    X: jnp.ndarray, Y: jnp.ndarray, n_valid: int
+) -> jnp.ndarray:
     """One Euclidean Lloyd iteration; empty clusters keep old centroids."""
     # argmin_k ||x - y_k||^2 = argmin_k (||y_k||^2 - 2 y_k^T x)
     g = jnp.dot(Y.T, X, preferred_element_type=jnp.float32)  # (K, N)
@@ -61,6 +70,8 @@ def _lloyd_round(X: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
     )  # (K,)
     assign = jnp.argmin(sq[:, None] - 2.0 * g, axis=0)  # (N,)
     onehot = jax.nn.one_hot(assign, Y.shape[1], dtype=jnp.float32)  # (N, K)
+    if n_valid != X.shape[1]:
+        onehot = onehot * (jnp.arange(X.shape[1]) < n_valid)[:, None]
     counts = jnp.sum(onehot, axis=0)  # (K,)
     sums = jnp.dot(
         X.astype(jnp.float32), onehot, preferred_element_type=jnp.float32
@@ -72,13 +83,22 @@ def _lloyd_round(X: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
 
 
 def kmeans_centers(
-    key: jax.Array, X: jnp.ndarray, K: int, iterations: int = 10
+    key: jax.Array,
+    X: jnp.ndarray,
+    K: int,
+    iterations: int = 10,
+    n_valid: int | None = None,
 ) -> jnp.ndarray:
-    """Seed + ``iterations`` Lloyd rounds (src/utils.cpp:53-64). X is (d, N)."""
-    Y = _seed_centroids(key, X, K)
+    """Seed + ``iterations`` Lloyd rounds (src/utils.cpp:53-64). X is (d, N).
+
+    ``n_valid`` marks trailing padding columns to exclude (sharding pad).
+    """
+    if n_valid is None:
+        n_valid = X.shape[1]
+    Y = _seed_centroids(key, X, K, n_valid)
 
     def body(Y, _):
-        return _lloyd_round(X, Y), None
+        return _lloyd_round(X, Y, n_valid), None
 
     Y, _ = jax.lax.scan(body, Y, None, length=iterations)
     return Y

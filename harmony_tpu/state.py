@@ -115,11 +115,18 @@ def init_state(
     :func:`harmony_tpu.engine.init_cluster` runs (src/harmony.cpp:131-156).
     """
     dtype = jnp.dtype(cfg.dtype)
+    Z = np.asarray(Z)
+    gcodes = design.codes.astype(np.int32)
+    if cfg.Np != cfg.N:
+        # Pad the cell axis with inert zero cells (see HarmonyConfig.N_pad).
+        pad = cfg.Np - cfg.N
+        Z = np.concatenate([Z, np.zeros((cfg.d, pad), Z.dtype)], axis=1)
+        gcodes = np.concatenate(
+            [gcodes, np.zeros((gcodes.shape[0], pad), gcodes.dtype)], axis=1
+        )
     Z_orig = jnp.asarray(Z, dtype=dtype)
     norms = jnp.linalg.norm(Z_orig, axis=0, keepdims=True)
     Z_corr = Z_orig / jnp.where(norms == 0, 1.0, norms)
-
-    gcodes = design.codes.astype(np.int32)
     batch_sizes = design.batch_sizes().astype(np.float64)
     Pr_b = batch_sizes / cfg.N
 
@@ -131,8 +138,8 @@ def init_state(
         Z_orig=Z_orig,
         Z_corr=Z_corr,
         Y=jnp.zeros((cfg.d, cfg.K), dtype=dtype),
-        R=jnp.zeros((cfg.K, cfg.N), dtype=dtype),
-        dist=jnp.zeros((cfg.K, cfg.N), dtype=dtype),
+        R=jnp.zeros((cfg.K, cfg.Np), dtype=dtype),
+        dist=jnp.zeros((cfg.K, cfg.Np), dtype=dtype),
         O=jnp.zeros((cfg.K, cfg.B), dtype=dtype),
         E=jnp.zeros((cfg.K, cfg.B), dtype=dtype),
         codes=jnp.asarray(gcodes),
