@@ -156,6 +156,9 @@ def run_harmony(
     ``return_object=True``.
     """
     check_legacy_args(**legacy)
+    from .runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     if options is None:
         options = harmony_options()
 

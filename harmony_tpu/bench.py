@@ -54,6 +54,10 @@ def run_bench(
     """
     import jax
 
+    from .runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from .config import harmony_options
     from .driver import harmonize
     from .engine import make_engine
@@ -79,15 +83,22 @@ def run_bench(
     key = jax.random.PRNGKey(seed)
     state = init_state(cfg, Zt, design, hp.sigma, hp.theta, hp.lamb, key)
 
+    def sync(st):
+        # On some backends (e.g. remote-tunnel PJRT) block_until_ready
+        # returns before execution completes; a host fetch is the only
+        # reliable barrier. O is small (K x B) and replicated.
+        np.asarray(st.O)
+        np.asarray(st.Z_corr[:1, :1])
+
     engine = make_engine(cfg)
     state = engine.init_cluster(state)
-    jax.block_until_ready(state.R)
+    sync(state)
 
     # Warm-up: compile cluster + correct.
     t0 = time.perf_counter()
     warm = engine.cluster(state)
     warm = engine.correct(warm)
-    jax.block_until_ready(warm.Z_corr)
+    sync(warm)
     compile_and_first = time.perf_counter() - t0
 
     # Timed rounds (continue from the warmed state so convergence state is
@@ -97,7 +108,7 @@ def run_bench(
     for _ in range(max_iter):
         state = engine.cluster(state)
         state = engine.correct(state)
-    jax.block_until_ready(state.Z_corr)
+    sync(state)
     elapsed = time.perf_counter() - t0
 
     per_iter = elapsed / max_iter

@@ -1,0 +1,140 @@
+"""Checkpoint / resume.
+
+The reference has no serialization (SURVEY.md §5): the engine object lives
+for the session only. The algorithm is restart-friendly by construction —
+the correction always recomputes from Z_orig (src/harmony.cpp:347) and
+clustering re-derives R from (Y, Z_corr) on re-entry
+(src/harmony.cpp:214-228) — so a *minimal* checkpoint is
+{Y, O, E, hyperparameters, objective traces, PRNG key, counters} plus the
+corrected embedding; R and dist are recomputed on resume.
+
+Formats:
+
+* ``mode='minimal'`` (default): the small replicated state + Z_corr.
+  Resume requires the original embedding/design to be re-supplied.
+* ``mode='full'``: every array in the state; standalone resume.
+
+Storage is a single ``.npz`` plus a JSON config header — portable and
+dependency-free. (For multi-host sharded runs, pair with
+``jax.experimental.multihost_utils`` gather or orbax; single-file npz is
+written from host-gathered arrays.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .config import HarmonyConfig
+from .state import HarmonyState
+
+_MINIMAL_FIELDS = (
+    "Y", "O", "E", "Z_corr",
+    "Pr_b", "batch_sizes", "sigma", "theta", "lamb",
+    "objective_kmeans", "objective_kmeans_dist", "objective_kmeans_entropy",
+    "objective_kmeans_cross", "n_kmeans", "objective_harmony", "n_harmony",
+    "kmeans_rounds", "n_rounds", "key",
+)
+_FULL_ONLY_FIELDS = ("Z_orig", "R", "dist", "codes")
+
+
+def save_checkpoint(
+    path: str, cfg: HarmonyConfig, state: HarmonyState, mode: str = "minimal"
+) -> None:
+    if mode not in ("minimal", "full"):
+        raise ValueError("mode must be 'minimal' or 'full'")
+    fields = _MINIMAL_FIELDS + (_FULL_ONLY_FIELDS if mode == "full" else ())
+    arrays = {f: np.asarray(getattr(state, f)) for f in fields}
+    cfg_json = json.dumps(dataclasses.asdict(cfg))
+    np.savez_compressed(
+        path,
+        __config__=np.frombuffer(cfg_json.encode(), dtype=np.uint8),
+        __mode__=np.array(mode),
+        **arrays,
+    )
+
+
+def load_checkpoint(
+    path: str,
+    Z: Optional[np.ndarray] = None,
+    design=None,
+    extra_rounds: int = 10,
+) -> Tuple[HarmonyConfig, HarmonyState]:
+    """Load a checkpoint; for minimal checkpoints pass the original
+    (d, N) embedding ``Z`` and the :class:`DesignMatrix` back in.
+
+    ``extra_rounds`` extends ``max_iter_harmony`` (and the fixed-capacity
+    trace buffers) so the resumed run has room for further rounds; trace
+    pushes past capacity would otherwise be silently dropped.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    z = np.load(path, allow_pickle=False)
+    cfg_dict = json.loads(bytes(z["__config__"]).decode())
+    cfg_dict["B_vec"] = tuple(cfg_dict["B_vec"])
+    cfg = HarmonyConfig(**cfg_dict)
+    mode = str(z["__mode__"])
+
+    kw = {f: jnp.asarray(z[f]) for f in _MINIMAL_FIELDS}
+
+    if extra_rounds:
+        old_kcap = cfg.kmeans_trace_capacity
+        old_hcap = cfg.harmony_trace_capacity
+        old_rounds = cfg.max_iter_harmony
+        cfg = dataclasses.replace(
+            cfg, max_iter_harmony=cfg.max_iter_harmony + extra_rounds
+        )
+
+        def grow(name, old, new):
+            kw[name] = jnp.concatenate(
+                [kw[name], jnp.zeros(new - old, kw[name].dtype)]
+            )
+
+        for f in (
+            "objective_kmeans", "objective_kmeans_dist",
+            "objective_kmeans_entropy", "objective_kmeans_cross",
+        ):
+            grow(f, old_kcap, cfg.kmeans_trace_capacity)
+        grow("objective_harmony", old_hcap, cfg.harmony_trace_capacity)
+        grow("kmeans_rounds", old_rounds, cfg.max_iter_harmony)
+    if mode == "full":
+        for f in _FULL_ONLY_FIELDS:
+            kw[f] = jnp.asarray(z[f])
+    else:
+        if Z is None or design is None:
+            raise ValueError(
+                "minimal checkpoint: pass Z (d, N) and design to resume"
+            )
+        Zp = np.asarray(Z)
+        gcodes = design.codes.astype(np.int32)
+        if cfg.Np != cfg.N:
+            pad = cfg.Np - cfg.N
+            Zp = np.concatenate([Zp, np.zeros((cfg.d, pad), Zp.dtype)], axis=1)
+            gcodes = np.concatenate(
+                [gcodes, np.zeros((gcodes.shape[0], pad), gcodes.dtype)],
+                axis=1,
+            )
+        dtype = jnp.dtype(cfg.dtype)
+        kw["Z_orig"] = jnp.asarray(Zp, dtype=dtype)
+        kw["codes"] = jnp.asarray(gcodes)
+        # Re-derive R/dist from (Y, Z_corr) exactly as the cluster()
+        # re-entry does (src/harmony.cpp:214-228), so the state is valid
+        # even when resuming before the first correction.
+        from .ops.assign import compute_distances, initial_assignments
+        from .ops.normalize import l2_normalize_columns
+
+        Zc = l2_normalize_columns(kw["Z_corr"])
+        dist = compute_distances(kw["Y"], Zc)
+        R = initial_assignments(dist, kw["sigma"])
+        if cfg.Np != cfg.N:
+            R = R * (jnp.arange(cfg.Np) < cfg.N)[None, :].astype(R.dtype)
+        kw["Z_corr"] = Zc
+        kw["dist"] = dist
+        kw["R"] = R
+
+    state = HarmonyState(**kw)
+    return cfg, state

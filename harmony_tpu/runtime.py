@@ -1,0 +1,109 @@
+"""Runtime niceties: persistent compilation cache, named-scope profiling,
+progress reporting and cooperative abort.
+
+The reference's instrumentation is an RAII timer map plus RcppProgress bars
+with user-abort polling (src/timer.h:9-31, src/harmony.cpp:210-234,
+348-356). The TPU-native equivalents here are ``jax.profiler`` traces,
+host wall-clock phase timers, and a cooperative abort flag the driver polls
+between rounds (device work is not interruptible mid-step).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import threading
+import time
+from typing import Dict, Optional
+
+_CACHE_ENABLED = False
+
+
+def enable_compilation_cache(path: Optional[str] = None) -> None:
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    First TPU compiles can take tens of seconds (more over remote-compile
+    tunnels); caching makes repeat processes fast. Opt out with
+    ``HARMONY_TPU_NO_CACHE=1``.
+    """
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED or os.environ.get("HARMONY_TPU_NO_CACHE"):
+        return
+    import jax
+
+    if path is None:
+        path = os.environ.get(
+            "HARMONY_TPU_CACHE_DIR",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "harmony_tpu", "xla"
+            ),
+        )
+    try:
+        os.makedirs(path, exist_ok=True)
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _CACHE_ENABLED = True
+    except Exception:  # cache is best-effort; never fail a run over it
+        pass
+
+
+class PhaseTimers:
+    """Named wall-clock accumulators (the analog of the reference's
+    ``timers`` map, src/timer.h:20)."""
+
+    def __init__(self):
+        self._acc: Dict[str, float] = {}
+        self._count: Dict[str, int] = {}
+
+    @contextlib.contextmanager
+    def scope(self, name: str):
+        import jax
+
+        t0 = time.perf_counter()
+        with jax.named_scope(name), jax.profiler.TraceAnnotation(name):
+            yield
+        dt = time.perf_counter() - t0
+        self._acc[name] = self._acc.get(name, 0.0) + dt
+        self._count[name] = self._count.get(name, 0) + 1
+
+    def report(self) -> str:
+        lines = [
+            f"{name:>24s}: {self._acc[name]*1e3:10.2f} ms over "
+            f"{self._count[name]} calls"
+            for name in sorted(self._acc)
+        ]
+        return "\n".join(lines)
+
+    def as_dict(self) -> Dict[str, float]:
+        return dict(self._acc)
+
+
+class AbortFlag:
+    """Cooperative abort (the analog of ``Progress::check_abort``,
+    src/harmony.cpp:233-234): the driver polls between device steps."""
+
+    def __init__(self):
+        self._event = threading.Event()
+
+    def set(self):
+        self._event.set()
+
+    def aborted(self) -> bool:
+        return self._event.is_set()
+
+
+@contextlib.contextmanager
+def trace(log_dir: Optional[str]):
+    """Capture a ``jax.profiler`` trace for the enclosed block when
+    ``log_dir`` is set (view with TensorBoard / xprof)."""
+    if not log_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -1,0 +1,151 @@
+"""Auxiliary subsystems: checkpoint/resume, plotting, scale_data, runtime."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from harmony_tpu import harmony_options, run_harmony, scale_data
+from harmony_tpu.checkpoint import load_checkpoint, save_checkpoint
+from harmony_tpu.driver import harmonize
+from harmony_tpu.engine import make_engine
+
+from conftest import make_synthetic
+
+
+def _result(max_iter=2, seed=5):
+    Z, meta = make_synthetic(None, n_cells=200, d=8, seed=seed)
+    obj = run_harmony(
+        Z, meta, ["dataset"], nclust=8, max_iter=max_iter, return_object=True,
+        seed=seed,
+    )
+    return Z, meta, obj
+
+
+class TestCheckpoint:
+    def test_full_roundtrip(self, tmp_path):
+        _, _, obj = _result()
+        p = str(tmp_path / "ckpt.npz")
+        save_checkpoint(p, obj.config, obj.state, mode="full")
+        cfg0, _ = load_checkpoint(p, extra_rounds=0)
+        assert cfg0 == obj.config
+        cfg, state = load_checkpoint(p)
+        assert cfg.max_iter_harmony > obj.config.max_iter_harmony
+        np.testing.assert_array_equal(
+            np.asarray(state.Z_corr), np.asarray(obj.state.Z_corr)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(state.R), np.asarray(obj.state.R)
+        )
+        # resumed state continues to run
+        engine = make_engine(cfg)
+        state2 = harmonize(engine, state, max_iter=1)
+        assert np.all(np.isfinite(np.asarray(state2.Z_corr)))
+
+    def test_minimal_resume_matches_uninterrupted(self, tmp_path):
+        """Stopping after 1 round and resuming for 1 more must match a
+        straight 2-round run (restart-friendliness, SURVEY.md §5)."""
+        Z, meta, _ = _result()
+        from harmony_tpu.preprocess import build_design, orient_embedding
+
+        # straight 2-round run with injected perms for determinism
+        rng = np.random.default_rng(0)
+        design = build_design(meta, ["dataset"])
+        obj2 = run_harmony(
+            Z, meta, ["dataset"], nclust=8, max_iter=2, return_object=True,
+            seed=9, early_stop=False,
+        )
+
+        obj1 = run_harmony(
+            Z, meta, ["dataset"], nclust=8, max_iter=1, return_object=True,
+            seed=9, early_stop=False,
+        )
+        p = str(tmp_path / "min.npz")
+        save_checkpoint(p, obj1.config, obj1.state, mode="minimal")
+
+        Zt = orient_embedding(Z, design.n_cells)
+        cfg, state = load_checkpoint(p, Z=Zt, design=design)
+        engine = make_engine(cfg)
+        state = harmonize(engine, state, max_iter=1)
+
+        # The resumed round re-derives R from (Y, Z_corr) exactly like the
+        # uninterrupted run's re-entry path; only the PRNG stream for the
+        # block permutations is shared via the saved key, so trajectories
+        # match to fp tolerance.
+        np.testing.assert_allclose(
+            np.asarray(state.Z_corr),
+            np.asarray(obj2.state.Z_corr),
+            atol=5e-5,
+        )
+
+    def test_minimal_requires_inputs(self, tmp_path):
+        _, _, obj = _result()
+        p = str(tmp_path / "m.npz")
+        save_checkpoint(p, obj.config, obj.state, mode="minimal")
+        with pytest.raises(ValueError):
+            load_checkpoint(p)
+
+
+def test_convergence_plot():
+    pytest.importorskip("matplotlib")
+    import matplotlib
+
+    matplotlib.use("Agg")
+    _, _, obj = _result(max_iter=3)
+    from harmony_tpu.plot import convergence_plot
+
+    ax = convergence_plot(obj)
+    assert len(ax.collections) >= 1
+
+
+class TestScaleData:
+    def test_dense_rows(self):
+        rng = np.random.default_rng(0)
+        A = rng.normal(size=(10, 50)) * 3 + 1
+        S = scale_data(A)
+        np.testing.assert_allclose(S.mean(axis=1), 0, atol=1e-10)
+        np.testing.assert_allclose(S.std(axis=1, ddof=1), 1, atol=1e-10)
+
+    def test_clipping(self):
+        A = np.eye(5) * 100
+        S = scale_data(A, thresh=2.0)
+        assert S.max() <= 2.0
+        assert S.min() >= -2.0
+
+    def test_sparse_matches_dense(self):
+        sp = pytest.importorskip("scipy.sparse")
+        rng = np.random.default_rng(1)
+        A = rng.normal(size=(20, 30))
+        A[A < 0.5] = 0  # sparsify
+        S_dense = scale_data(A)
+        S_sparse = scale_data(sp.csc_matrix(A))
+        np.testing.assert_allclose(S_dense, S_sparse, atol=1e-10)
+
+    def test_margin_2(self):
+        rng = np.random.default_rng(2)
+        A = rng.normal(size=(12, 7))
+        S = scale_data(A, margin=2)
+        np.testing.assert_allclose(S.mean(axis=0), 0, atol=1e-10)
+
+
+def test_phase_timers():
+    from harmony_tpu.runtime import PhaseTimers
+
+    t = PhaseTimers()
+    with t.scope("phase_a"):
+        pass
+    with t.scope("phase_a"):
+        pass
+    assert t._count["phase_a"] == 2
+    assert "phase_a" in t.report()
+
+
+def test_abort_flag():
+    from harmony_tpu.runtime import AbortFlag
+
+    f = AbortFlag()
+    assert not f.aborted()
+    f.set()
+    assert f.aborted()
