@@ -38,7 +38,7 @@ _MINIMAL_FIELDS = (
     "objective_kmeans_cross", "n_kmeans", "objective_harmony", "n_harmony",
     "kmeans_rounds", "n_rounds", "key",
 )
-_FULL_ONLY_FIELDS = ("Z_orig", "R", "dist", "codes")
+_FULL_ONLY_FIELDS = ("Z_orig", "R", "codes")
 
 
 def save_checkpoint(
@@ -133,7 +133,6 @@ def load_checkpoint(
         if cfg.Np != cfg.N:
             R = R * (jnp.arange(cfg.Np) < cfg.N)[None, :].astype(R.dtype)
         kw["Z_corr"] = Zc
-        kw["dist"] = dist
         kw["R"] = R
 
     state = HarmonyState(**kw)

@@ -24,12 +24,11 @@ from . import ops
 from .ops.normalize import l2_normalize_columns
 
 
-def _push_kmeans_objective(cfg: HarmonyConfig, state: HarmonyState) -> HarmonyState:
-    """Compute the objective and append to the kmeans traces."""
-    tot, dist_t, ent_t, cross_t = ops.compute_objective(
-        cfg, state.R, state.dist, state.O, state.E, state.codes, state.sigma,
-        state.theta,
-    )
+def _push_objective_terms(
+    cfg: HarmonyConfig, state: HarmonyState, terms
+) -> HarmonyState:
+    """Append (total, dist, entropy, cross) to the kmeans traces."""
+    tot, dist_t, ent_t, cross_t = terms
     i = state.n_kmeans
     return dataclasses.replace(
         state,
@@ -41,8 +40,12 @@ def _push_kmeans_objective(cfg: HarmonyConfig, state: HarmonyState) -> HarmonySt
     )
 
 
-def _assign_from_centroids(cfg: HarmonyConfig, state: HarmonyState) -> HarmonyState:
-    """Recompute dist, R, E, O from (Y, Z_corr) (src/harmony.cpp:141-150, 220-227)."""
+def _assign_from_centroids(cfg: HarmonyConfig, state: HarmonyState):
+    """Recompute R, E, O from (Y, Z_corr) (src/harmony.cpp:141-150, 220-227).
+
+    Returns (state, kmeans_error, entropy) — the two per-cell objective
+    accumulators — so init can push an objective without a stored dist.
+    """
     Z = l2_normalize_columns(state.Z_corr)
     dist = ops.compute_distances(state.Y, Z)
     R = ops.initial_assignments(dist, state.sigma)
@@ -51,17 +54,22 @@ def _assign_from_centroids(cfg: HarmonyConfig, state: HarmonyState) -> HarmonySt
         R = R * (jnp.arange(cfg.Np) < cfg.N)[None, :].astype(R.dtype)
     E = ops.compute_E(R, state.Pr_b)
     O = ops.compute_O(R, state.codes, cfg.covariate_offsets, cfg.B)
-    return dataclasses.replace(state, Z_corr=Z, dist=dist, R=R, E=E, O=O)
+    Rf = R.astype(jnp.float32)
+    kerr = jnp.sum(Rf * dist.astype(jnp.float32))
+    ent = jnp.sum(
+        state.sigma.astype(jnp.float32)[:, None]
+        * jnp.where(Rf > 0, Rf * jnp.log(Rf), 0.0)
+    )
+    state = dataclasses.replace(state, Z_corr=Z, R=R, E=E, O=O)
+    return state, kerr, ent
 
 
-def init_cluster(cfg: HarmonyConfig, state: HarmonyState) -> HarmonyState:
-    """K-means centroid init + first assignments (src/harmony.cpp:131-156)."""
-    key, sub = jax.random.split(state.key)
-    Y = ops.kmeans_centers(sub, state.Z_corr, cfg.K, n_valid=cfg.N)
-    Y = l2_normalize_columns(Y)
-    state = dataclasses.replace(state, Y=Y, key=key)
-    state = _assign_from_centroids(cfg, state)
-    state = _push_kmeans_objective(cfg, state)
+def _init_common(cfg: HarmonyConfig, state: HarmonyState) -> HarmonyState:
+    state, kerr, ent = _assign_from_centroids(cfg, state)
+    terms = ops.objective_from_stats(
+        cfg, kerr, ent, state.O, state.E, state.sigma, state.theta
+    )
+    state = _push_objective_terms(cfg, state, terms)
     # objective_harmony gets the init objective (src/harmony.cpp:153)
     return dataclasses.replace(
         state,
@@ -72,6 +80,15 @@ def init_cluster(cfg: HarmonyConfig, state: HarmonyState) -> HarmonyState:
     )
 
 
+def init_cluster(cfg: HarmonyConfig, state: HarmonyState) -> HarmonyState:
+    """K-means centroid init + first assignments (src/harmony.cpp:131-156)."""
+    key, sub = jax.random.split(state.key)
+    Y = ops.kmeans_centers(sub, state.Z_corr, cfg.K, n_valid=cfg.N)
+    Y = l2_normalize_columns(Y)
+    state = dataclasses.replace(state, Y=Y, key=key)
+    return _init_common(cfg, state)
+
+
 def init_cluster_from(
     cfg: HarmonyConfig, state: HarmonyState, Y0: jnp.ndarray
 ) -> HarmonyState:
@@ -79,15 +96,7 @@ def init_cluster_from(
     k-means seeding when comparing trajectories against the reference)."""
     Y = l2_normalize_columns(Y0.astype(state.Z_corr.dtype))
     state = dataclasses.replace(state, Y=Y)
-    state = _assign_from_centroids(cfg, state)
-    state = _push_kmeans_objective(cfg, state)
-    return dataclasses.replace(
-        state,
-        objective_harmony=state.objective_harmony.at[state.n_harmony].set(
-            state.objective_kmeans[state.n_kmeans - 1]
-        ),
-        n_harmony=state.n_harmony + 1,
-    )
+    return _init_common(cfg, state)
 
 
 def _kmeans_window_converged(cfg: HarmonyConfig, state: HarmonyState) -> jnp.ndarray:
@@ -125,7 +134,7 @@ def cluster(
     # 1 right after init, so this triggers for every round but the first.
     state = jax.lax.cond(
         state.n_harmony != 1,
-        lambda s: _assign_from_centroids(cfg, s),
+        lambda s: _assign_from_centroids(cfg, s)[0],
         lambda s: s,
         state,
     )
@@ -145,12 +154,16 @@ def cluster(
     def body(carry):
         state, it, _ = carry
         perm = perms[it]
-        R, E, O = ops.block_update_R(
-            cfg, state.R, state.dist, state.E, state.O, state.codes,
-            state.Pr_b, state.sigma, state.theta, perm,
+        res = ops.block_update_round(
+            cfg, state.Z_corr, state.Y, state.R, state.E, state.O,
+            state.codes, state.Pr_b, state.sigma, state.theta, perm,
         )
-        state = dataclasses.replace(state, R=R, E=E, O=O)
-        state = _push_kmeans_objective(cfg, state)
+        state = dataclasses.replace(state, R=res.R, E=res.E, O=res.O)
+        terms = ops.objective_from_stats(
+            cfg, res.kmeans_error, res.entropy, res.O, res.E, state.sigma,
+            state.theta,
+        )
+        state = _push_objective_terms(cfg, state, terms)
         done = jnp.where(
             it > cfg.window_size, _kmeans_window_converged(cfg, state), False
         )

@@ -9,11 +9,11 @@ on TPU backends.
 
 from .normalize import l1_normalize_columns, l2_normalize_columns  # noqa: F401
 from .assign import (  # noqa: F401
-    block_update_R,
     compute_distances,
     initial_assignments,
     make_blocks,
 )
+from .estep import block_update_round, objective_from_stats  # noqa: F401
 from .objective import compute_objective  # noqa: F401
 from .stats import compute_E, compute_O, penalty_for_cells  # noqa: F401
 from .kmeans import kmeans_centers  # noqa: F401

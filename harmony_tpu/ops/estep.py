@@ -1,0 +1,190 @@
+"""Fused, bandwidth-optimal E-step (the production update_R path).
+
+Re-design of the reference's hottest loop (``update_R``,
+src/harmony.cpp:269-342) for TPU memory hierarchy. Three structural changes
+versus a literal translation, all value-preserving:
+
+1. **Block layout instead of per-block gathers.** The permuted cells are
+   gathered once per round into a dense (n_blocks, S) layout (one
+   bandwidth-bound pass), the sequential block scan then reads contiguous
+   slices, and the new R scatters back once via a precomputed inverse map.
+   Block membership and order are bit-identical to the reference's
+   geometry (unequal final block included) via validity masks.
+
+2. **dist is recomputed, not stored.** During clustering Y and Z_corr are
+   fixed (Harmony2 refreshes centroids only in the correction step,
+   src/harmony.cpp:236-238, 610), so ``dist = 2(1 - Y^T Z)`` per block is a
+   (K, d) x (d, S) MXU matmul — cheaper than streaming a K x N array from
+   HBM, and it removes the K x N dist buffer from the state entirely.
+
+3. **The objective is computed inside the round.** Each cell's final R for
+   the round is known when its block is processed, so the kmeans-error and
+   entropy terms accumulate per block; the diversity cross term collapses
+   algebraically to a K x B contraction:
+
+       sum_{k,n} R[k,n] sigma_k pen_log[k, code(n)]
+         = sum_{k,b} sigma_k pen_log[k,b] * O[k,b]
+
+   (grouping cells by batch), so no extra pass over R is needed —
+   value-identical to src/harmony.cpp:158-170 up to summation order.
+
+Per round this touches R twice and Z/codes once: ~5 bytes/cell/cluster,
+the streaming lower bound for the update's sequential semantics.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import HarmonyConfig
+from .assign import make_blocks
+from .normalize import l1_normalize_columns
+
+
+class RoundResult(NamedTuple):
+    R: jnp.ndarray
+    E: jnp.ndarray
+    O: jnp.ndarray
+    kmeans_error: jnp.ndarray  # sum R . dist over the round's final R
+    entropy: jnp.ndarray  # sum sigma_k R log R
+
+
+def block_update_round(
+    cfg: HarmonyConfig,
+    Z: jnp.ndarray,  # (d, Np) L2-normalised corrected embedding
+    Y: jnp.ndarray,  # (d, K) L2-normalised centroids
+    R: jnp.ndarray,  # (K, Np)
+    E: jnp.ndarray,  # (K, B)
+    O: jnp.ndarray,  # (K, B)
+    codes: jnp.ndarray,  # (ncov, Np)
+    Pr_b: jnp.ndarray,  # (B,)
+    sigma: jnp.ndarray,  # (K,)
+    theta: jnp.ndarray,  # (B,)
+    perm: jnp.ndarray,  # (N,) cell permutation
+) -> RoundResult:
+    """One full update_R round in block layout, objective terms included."""
+    offsets = cfg.covariate_offsets
+    K, Np = R.shape
+    nb = cfg.n_blocks
+    S = cfg.max_block_size
+    dtype = R.dtype
+    f32 = jnp.float32
+
+    idx, mask = make_blocks(cfg, perm)  # (nb, S); sentinel Np for pad slots
+    mf = mask.astype(dtype)
+
+    # ---- one gather per array into block layout --------------------------
+    pad1 = lambda X: jnp.concatenate(
+        [X, jnp.zeros((*X.shape[:-1], 1), X.dtype)], axis=-1
+    )
+    Rp, Zp, cp = pad1(R), pad1(Z), pad1(codes)
+    R_blk = Rp[:, idx]  # (K, nb, S)
+    Z_blk = Zp[:, idx]  # (d, nb, S)
+    c_blk = cp[:, idx]  # (ncov, nb, S)
+
+    # one-hot designs per block: (nb, S, B)
+    b_ids = jnp.arange(cfg.B, dtype=jnp.int32)
+    oh = jnp.zeros((nb, S, cfg.B), dtype=dtype)
+    for c, off in enumerate(offsets):
+        oh = oh + (
+            (c_blk[c][..., None] + off == b_ids) & mask[..., None]
+        ).astype(dtype)
+
+    # ---- batched old-block statistics (cells are partitioned, so block
+    # i's old R is untouched by earlier block updates) ---------------------
+    R_old = R_blk * mf[None]  # (K, nb, S)
+    rsum_old = jnp.einsum("kbs->bk", R_old)  # (nb, K)
+    O_old = jnp.einsum(
+        "kbs,bsc->bkc", R_old, oh, preferred_element_type=f32
+    ).astype(dtype)  # (nb, K, B)
+
+    theta_row = theta[None, :]
+    sigma_col = sigma[:, None]
+
+    def body(carry, xs):
+        E, O, acc_d, acc_e = carry
+        Z_b, oh_b, m_b, rsum_old_b, O_old_b, cb = xs
+        # Step 1: remove the block's old contributions (src/harmony.cpp:312-313)
+        E = E - rsum_old_b[:, None] * Pr_b[None, :]
+        O = O - O_old_b
+
+        # Step 2: recompute the block's assignments
+        g = jnp.dot(Y.T, Z_b, preferred_element_type=f32)  # (K, S)
+        d_b = (2.0 * (1.0 - g)).astype(dtype)
+        R_n = jnp.exp(-d_b / sigma_col)
+        R_n = l1_normalize_columns(R_n)
+        pen = ((2.0 * E + 1.0) / (O + E + 1.0)) ** theta_row  # (K, B)
+        pc = None
+        for c, off in enumerate(offsets):
+            t = jnp.take(pen[:, off:], cb[c], axis=1)
+            pc = t if pc is None else pc + t
+        R_n = l1_normalize_columns(R_n * pc) * m_b[None, :]
+
+        # Step 3: add the block back + objective accumulators
+        rs = jnp.sum(R_n, axis=1, keepdims=True)
+        E = E + rs * Pr_b[None, :]
+        O = O + jnp.dot(R_n, oh_b, preferred_element_type=f32).astype(dtype)
+        Rf = R_n.astype(f32)
+        acc_d = acc_d + jnp.sum(Rf * d_b.astype(f32))
+        acc_e = acc_e + jnp.sum(
+            sigma.astype(f32)[:, None] * jnp.where(Rf > 0, Rf * jnp.log(Rf), 0.0)
+        )
+        return (E, O, acc_d, acc_e), R_n
+
+    (E, O, acc_d, acc_e), R_new = jax.lax.scan(
+        body,
+        (E, O, jnp.zeros((), f32), jnp.zeros((), f32)),
+        (
+            jnp.moveaxis(Z_blk, 1, 0),  # (nb, d, S)
+            oh,  # (nb, S, B)
+            mf,  # (nb, S)
+            rsum_old,  # (nb, K)
+            O_old,  # (nb, K, B)
+            jnp.moveaxis(c_blk, 1, 0),  # (nb, ncov, S)
+        ),
+    )
+
+    # ---- scatter back via the precomputed inverse map --------------------
+    flat_idx = idx.reshape(-1)  # (nb*S,) cell of each slot (Np = pad)
+    pos = jnp.full((Np + 1,), nb * S, dtype=jnp.int32)
+    pos = pos.at[flat_idx].set(
+        jnp.arange(nb * S, dtype=jnp.int32), mode="drop"
+    )
+    R_flat = jnp.concatenate(
+        [
+            jnp.moveaxis(R_new, 0, 1).reshape(K, nb * S),
+            jnp.zeros((K, 1), dtype),
+        ],
+        axis=1,
+    )
+    R_out = R_flat[:, pos[:Np]]
+    # cells not covered by any block (sharding pads) keep zero R; real cells
+    # are always covered (blocks partition [0, N)).
+    return RoundResult(R=R_out, E=E, O=O, kmeans_error=acc_d, entropy=acc_e)
+
+
+def objective_from_stats(
+    cfg: HarmonyConfig,
+    kmeans_error: jnp.ndarray,
+    entropy: jnp.ndarray,
+    O: jnp.ndarray,
+    E: jnp.ndarray,
+    sigma: jnp.ndarray,
+    theta: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Objective from in-round accumulators + the O-contraction cross term.
+
+    Value-identical to ``compute_objective`` (src/harmony.cpp:158-170) up to
+    fp summation order; see module docstring for the algebra.
+    """
+    nc = jnp.float32(cfg.norm_const)
+    Of, Ef = O.astype(jnp.float32), E.astype(jnp.float32)
+    pen_log = theta.astype(jnp.float32)[None, :] * jnp.log(
+        (Of + Ef + 1.0) / (2.0 * Ef + 1.0)
+    )
+    cross = jnp.sum(sigma.astype(jnp.float32)[:, None] * pen_log * Of)
+    total = (kmeans_error + entropy + cross) * nc
+    return total, kmeans_error * nc, entropy * nc, cross * nc

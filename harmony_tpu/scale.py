@@ -54,8 +54,19 @@ def _scale_rows_dense(M: np.ndarray, thresh: float) -> np.ndarray:
 
 
 def _scale_rows_csc(M, thresh: float) -> np.ndarray:
-    """CSC path mirroring ``scaleRows_dgc`` (src/utils.cpp:112-155)."""
+    """CSC path mirroring ``scaleRows_dgc`` (src/utils.cpp:112-155).
+
+    Uses the native C++ kernel (harmony_tpu.native) when the toolchain is
+    available; NumPy otherwise.
+    """
     nrow, ncol = M.shape
+    from . import native
+
+    res = native.csc_scale_rows(
+        M.data, M.indices, M.indptr, nrow, ncol, thresh
+    )
+    if res is not None:
+        return res
     x, p, i = M.data, M.indptr, M.indices
 
     mean_vec = np.zeros(nrow)

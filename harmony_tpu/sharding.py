@@ -55,7 +55,7 @@ def state_shardings(mesh: Mesh) -> HarmonyState:
     cell = NamedSharding(mesh, P(None, CELL_AXIS))
     rep1 = NamedSharding(mesh, P())
     return HarmonyState(
-        Z_orig=cell, Z_corr=cell, Y=rep1, R=cell, dist=cell,
+        Z_orig=cell, Z_corr=cell, Y=rep1, R=cell,
         O=rep1, E=rep1,
         codes=cell, Pr_b=rep1, batch_sizes=rep1,
         sigma=rep1, theta=rep1, lamb=rep1,

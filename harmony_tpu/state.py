@@ -16,7 +16,6 @@ Z_orig         (d, N)      ``Z_orig`` (src/harmony.h)
 Z_corr         (d, N)      ``Z_corr``
 Y              (d, K)      centroids ``Y``
 R              (K, N)      soft assignments ``R``
-dist           (K, N)      ``dist_mat``
 O, E           (K, B)      observed / expected batch-cluster counts
 codes          (ncov, N)   integer design replacing sparse ``Phi``
 Pr_b           (B,)        batch frequencies ``Pr_b = N_b / N``
@@ -44,12 +43,13 @@ from .preprocess import DesignMatrix
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class HarmonyState:
-    # Embeddings and model state
+    # Embeddings and model state. (The reference also persists a K x N
+    # ``dist_mat``; here distances are recomputed from (Y, Z_corr) per
+    # block — see ops/estep.py — so no dist buffer exists.)
     Z_orig: jax.Array
     Z_corr: jax.Array
     Y: jax.Array
     R: jax.Array
-    dist: jax.Array
     O: jax.Array
     E: jax.Array
 
@@ -139,7 +139,6 @@ def init_state(
         Z_corr=Z_corr,
         Y=jnp.zeros((cfg.d, cfg.K), dtype=dtype),
         R=jnp.zeros((cfg.K, cfg.Np), dtype=dtype),
-        dist=jnp.zeros((cfg.K, cfg.Np), dtype=dtype),
         O=jnp.zeros((cfg.K, cfg.B), dtype=dtype),
         E=jnp.zeros((cfg.K, cfg.B), dtype=dtype),
         codes=jnp.asarray(gcodes),
