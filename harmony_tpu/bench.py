@@ -90,7 +90,7 @@ def run_bench(
         np.asarray(st.O)
         np.asarray(st.Z_corr[:1, :1])
 
-    engine = make_engine(cfg)
+    engine = make_engine(cfg, codes=state.codes)
     state = engine.init_cluster(state)
     sync(state)
 

@@ -156,6 +156,11 @@ class HarmonyConfig:
     dtype: str = "float32"  # compute dtype for the hot path
     matmul_precision: str = "float32"  # 'bfloat16'|'float32'|'highest' for dot ops
     ridge_solver: str = "cholesky"  # 'cholesky' | 'solve' | 'arrowhead'
+    # M-step moment strategy: 'dense' one-hot contractions, 'segment'
+    # batch-pure tile matmuls (ops/segments.py), or 'auto' (segment at
+    # large N where the O(K N B d) dense cost dominates).
+    mstep_mode: str = "auto"
+    segment_tile: int = 1024
 
     verbose: bool = False
 
@@ -214,6 +219,14 @@ class HarmonyConfig:
     @property
     def n_covariates(self) -> int:
         return len(self.B_vec)
+
+    @property
+    def use_segments(self) -> bool:
+        if self.mstep_mode == "segment":
+            return True
+        if self.mstep_mode == "dense":
+            return False
+        return self.N >= 65536
 
     @property
     def norm_const(self) -> float:

@@ -67,7 +67,7 @@ def run(
     perms: Optional[np.ndarray] = None,
 ) -> HarmonyState:
     """init_cluster + harmonize, returning the final state."""
-    engine = make_engine(cfg)
+    engine = make_engine(cfg, codes=state.codes)
     if Y0 is not None:
         state = engine.init_cluster_from(state, jnp.asarray(Y0))
     else:

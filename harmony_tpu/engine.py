@@ -185,11 +185,13 @@ def cluster(
     return state
 
 
-def correct(cfg: HarmonyConfig, state: HarmonyState) -> HarmonyState:
+def correct(
+    cfg: HarmonyConfig, state: HarmonyState, segments=None
+) -> HarmonyState:
     """M-step: MoE ridge correction + centroid refresh (src/harmony.cpp:345-638)."""
     Z_corr, Y_new, _ = ops.moe_correct_ridge(
         cfg, state.Z_orig, state.R, state.O, state.E, state.codes,
-        state.batch_sizes, state.lamb, state.Y,
+        state.batch_sizes, state.lamb, state.Y, segments=segments,
     )
     return dataclasses.replace(
         state, Z_corr=Z_corr, Y=Y_new, n_rounds=state.n_rounds + 1
@@ -231,15 +233,28 @@ def _with_precision(cfg: HarmonyConfig, fn):
     return wrapped
 
 
-def make_engine(cfg: HarmonyConfig) -> Engine:
-    def jit(fn):
-        return jax.jit(_with_precision(cfg, partial(fn, cfg)))
+def make_engine(cfg: HarmonyConfig, codes=None) -> Engine:
+    """Build jitted phases. ``codes`` ((ncov, Np) array, host or device)
+    enables the segmented M-step when ``cfg.use_segments``; the tile layout
+    is static per run and closed over as a jit constant."""
+    segments = None
+    if cfg.use_segments and codes is not None:
+        import numpy as np
+
+        from .ops.segments import build_segments
+
+        segments = build_segments(
+            cfg, np.asarray(codes), tile=cfg.segment_tile
+        )
+
+    def jit(fn, **extra):
+        return jax.jit(_with_precision(cfg, partial(fn, cfg, **extra)))
 
     return Engine(
         cfg=cfg,
         init_cluster=jit(init_cluster),
         init_cluster_from=jit(init_cluster_from),
         cluster=jit(cluster),
-        correct=jit(correct),
+        correct=jit(correct, segments=segments),
         harmony_converged=jit(harmony_converged),
     )

@@ -80,10 +80,9 @@ def block_update_round(
     pad1 = lambda X: jnp.concatenate(
         [X, jnp.zeros((*X.shape[:-1], 1), X.dtype)], axis=-1
     )
-    Rp, Zp, cp = pad1(R), pad1(Z), pad1(codes)
-    R_blk = Rp[:, idx]  # (K, nb, S)
-    Z_blk = Zp[:, idx]  # (d, nb, S)
-    c_blk = cp[:, idx]  # (ncov, nb, S)
+    R_blk = pad1(R)[:, idx]  # (K, nb, S)
+    Z_blk = pad1(Z)[:, idx]  # (d, nb, S)
+    c_blk = pad1(codes)[:, idx]  # (ncov, nb, S)
 
     # one-hot designs per block: (nb, S, B)
     b_ids = jnp.arange(cfg.B, dtype=jnp.int32)
@@ -103,15 +102,23 @@ def block_update_round(
 
     theta_row = theta[None, :]
     sigma_col = sigma[:, None]
+    sigma_f32 = sigma.astype(f32)[:, None]
 
-    def body(carry, xs):
-        E, O, acc_d, acc_e = carry
-        Z_b, oh_b, m_b, rsum_old_b, O_old_b, cb = xs
+    # fori_loop with mid-axis dynamic slices: no physical transposes of the
+    # big block tensors, and R_new writes land in a (K, nb, S) buffer whose
+    # flat view feeds the inverse-map gather directly.
+    def body(i, carry):
+        E, O, acc_d, acc_e, R_new_all = carry
+        Z_b = jax.lax.dynamic_index_in_dim(Z_blk, i, axis=1, keepdims=False)
+        oh_b = jax.lax.dynamic_index_in_dim(oh, i, axis=0, keepdims=False)
+        m_b = jax.lax.dynamic_index_in_dim(mf, i, axis=0, keepdims=False)
+        cb = jax.lax.dynamic_index_in_dim(c_blk, i, axis=1, keepdims=False)
+
         # Step 1: remove the block's old contributions (src/harmony.cpp:312-313)
-        E = E - rsum_old_b[:, None] * Pr_b[None, :]
-        O = O - O_old_b
+        E = E - rsum_old[i][:, None] * Pr_b[None, :]
+        O = O - O_old[i]
 
-        # Step 2: recompute the block's assignments
+        # Step 2: recompute the block's assignments (src/harmony.cpp:318-323)
         g = jnp.dot(Y.T, Z_b, preferred_element_type=f32)  # (K, S)
         d_b = (2.0 * (1.0 - g)).astype(dtype)
         R_n = jnp.exp(-d_b / sigma_col)
@@ -130,35 +137,29 @@ def block_update_round(
         Rf = R_n.astype(f32)
         acc_d = acc_d + jnp.sum(Rf * d_b.astype(f32))
         acc_e = acc_e + jnp.sum(
-            sigma.astype(f32)[:, None] * jnp.where(Rf > 0, Rf * jnp.log(Rf), 0.0)
+            sigma_f32 * jnp.where(Rf > 0, Rf * jnp.log(Rf), 0.0)
         )
-        return (E, O, acc_d, acc_e), R_n
+        R_new_all = jax.lax.dynamic_update_slice_in_dim(
+            R_new_all, R_n[:, None, :], i, axis=1
+        )
+        return (E, O, acc_d, acc_e, R_new_all)
 
-    (E, O, acc_d, acc_e), R_new = jax.lax.scan(
+    E, O, acc_d, acc_e, R_new = jax.lax.fori_loop(
+        0,
+        nb,
         body,
-        (E, O, jnp.zeros((), f32), jnp.zeros((), f32)),
         (
-            jnp.moveaxis(Z_blk, 1, 0),  # (nb, d, S)
-            oh,  # (nb, S, B)
-            mf,  # (nb, S)
-            rsum_old,  # (nb, K)
-            O_old,  # (nb, K, B)
-            jnp.moveaxis(c_blk, 1, 0),  # (nb, ncov, S)
+            E, O, jnp.zeros((), f32), jnp.zeros((), f32),
+            jnp.zeros((K, nb, S), dtype),
         ),
     )
 
     # ---- scatter back via the precomputed inverse map --------------------
     flat_idx = idx.reshape(-1)  # (nb*S,) cell of each slot (Np = pad)
     pos = jnp.full((Np + 1,), nb * S, dtype=jnp.int32)
-    pos = pos.at[flat_idx].set(
-        jnp.arange(nb * S, dtype=jnp.int32), mode="drop"
-    )
+    pos = pos.at[flat_idx].set(jnp.arange(nb * S, dtype=jnp.int32))
     R_flat = jnp.concatenate(
-        [
-            jnp.moveaxis(R_new, 0, 1).reshape(K, nb * S),
-            jnp.zeros((K, 1), dtype),
-        ],
-        axis=1,
+        [R_new.reshape(K, nb * S), jnp.zeros((K, 1), dtype)], axis=1
     )
     R_out = R_flat[:, pos[:Np]]
     # cells not covered by any block (sharding pads) keep zero R; real cells

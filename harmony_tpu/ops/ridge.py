@@ -78,11 +78,17 @@ def moe_correct_ridge(
     batch_sizes: jnp.ndarray,  # (B,)
     lamb: jnp.ndarray,  # (B+1,) fixed ridge diag (ignored when estimating)
     Y_old: jnp.ndarray,  # (d, K) previous centroids
+    segments=None,  # tuple[CovariateSegments] -> tiled O(K N d) moment path
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Return (Z_corr, Y_new, W) — W is (K, B+1, d) with intercept rows zeroed.
 
     ``Z_corr`` is always recomputed fresh from ``Z_orig``
     (src/harmony.cpp:347): correction is never incremental.
+
+    With ``segments`` (see :mod:`harmony_tpu.ops.segments`) the moments and
+    the correction use batch-pure tile matmuls at O(K·N·d) cost; without,
+    a dense one-hot path serves small problems and doubles as the test
+    reference for the segmented path.
     """
     offsets = cfg.covariate_offsets
     K, B, d = cfg.K, cfg.B, cfg.d
@@ -99,22 +105,20 @@ def moe_correct_ridge(
         cell_mask = kc if cell_mask is None else (cell_mask | kc)
     R_eff = R.astype(f32) * cell_mask.astype(f32)  # (K, N)
 
-    # ---- Moments ----------------------------------------------------------
-    # One-hot designs per covariate (dense small-N path).
-    onehots = [
-        jax.nn.one_hot(codes[c], cfg.B_vec[c], dtype=f32)  # (N, B_c)
-        for c in range(cfg.n_covariates)
-    ]
-
-    # O_eff[k, b] = sum_n R_eff[k, n] [code = b], masked by keep.
-    O_eff = jnp.concatenate(
-        [
-            jnp.dot(R_eff, oh, preferred_element_type=f32)
-            for oh in onehots
-        ],
-        axis=1,
-    ) * keepf  # (K, B)
+    Zf = Z_orig.astype(f32)
     r_tot = jnp.sum(R_eff, axis=1)  # (K,) = Phi_Rk intercept moment
+    rhs0 = jnp.dot(R_eff, Zf.T, preferred_element_type=f32)  # (K, d)
+
+    if segments is None:
+        O_eff, rhs_batches, cross_blocks, ctx = _moments_dense(
+            cfg, R_eff, Zf, codes
+        )
+    else:
+        O_eff, rhs_batches, cross_blocks, ctx = _moments_segmented(
+            cfg, R_eff, Zf, codes, segments
+        )
+    O_eff = O_eff * keepf
+    rhs_batches = rhs_batches * keepf[:, :, None]
 
     # ---- Normal matrices G (K, B+1, B+1) ---------------------------------
     G = jnp.zeros((K, B + 1, B + 1), dtype=f32)
@@ -125,24 +129,18 @@ def moe_correct_ridge(
     G = G.at[:, diag_idx, diag_idx].set(O_eff)
     # Cross-covariate co-occurrence blocks (the reference's Phi_Rk Phi^T has
     # these implicitly through the stacked sparse design).
-    for c1 in range(cfg.n_covariates):
-        for c2 in range(c1 + 1, cfg.n_covariates):
-            b1, b2 = cfg.B_vec[c1], cfg.B_vec[c2]
-            o1, o2 = offsets[c1], offsets[c2]
-            joint = codes[c1] * b2 + codes[c2]  # (N,)
-            ohj = jax.nn.one_hot(joint, b1 * b2, dtype=f32)  # (N, b1*b2)
-            cross = jnp.dot(
-                R_eff, ohj, preferred_element_type=f32
-            ).reshape(K, b1, b2)
-            cross = (
-                cross
-                * keepf[:, o1 : o1 + b1][:, :, None]
-                * keepf[:, o2 : o2 + b2][:, None, :]
-            )
-            G = G.at[:, 1 + o1 : 1 + o1 + b1, 1 + o2 : 1 + o2 + b2].set(cross)
-            G = G.at[:, 1 + o2 : 1 + o2 + b2, 1 + o1 : 1 + o1 + b1].set(
-                jnp.swapaxes(cross, 1, 2)
-            )
+    for (c1, c2), cross in cross_blocks.items():
+        b1, b2 = cfg.B_vec[c1], cfg.B_vec[c2]
+        o1, o2 = offsets[c1], offsets[c2]
+        cross = (
+            cross
+            * keepf[:, o1 : o1 + b1][:, :, None]
+            * keepf[:, o2 : o2 + b2][:, None, :]
+        )
+        G = G.at[:, 1 + o1 : 1 + o1 + b1, 1 + o2 : 1 + o2 + b2].set(cross)
+        G = G.at[:, 1 + o2 : 1 + o2 + b2, 1 + o1 : 1 + o1 + b1].set(
+            jnp.swapaxes(cross, 1, 2)
+        )
 
     # ---- Ridge diagonal (lambda) -----------------------------------------
     if cfg.lambda_estimation:
@@ -159,16 +157,6 @@ def moe_correct_ridge(
     G = G.at[:, 0, 0].add(jnp.where(any_active, 0.0, 1.0))
 
     # ---- RHS (K, B+1, d): Phi_moe diag(R_eff) Z^T ------------------------
-    Zf = Z_orig.astype(f32)
-    rhs0 = jnp.dot(R_eff, Zf.T, preferred_element_type=f32)  # (K, d)
-    rhs_rows = []
-    for c, oh in enumerate(onehots):
-        # S_c[k, b, :] = sum_{n: code_c = b} R_eff[k, n] Z[:, n]
-        S_c = jnp.einsum(
-            "kn,nb,dn->kbd", R_eff, oh, Zf, preferred_element_type=f32
-        )
-        rhs_rows.append(S_c)
-    rhs_batches = jnp.concatenate(rhs_rows, axis=1) * keepf[:, :, None]
     rhs = jnp.concatenate([rhs0[:, None, :], rhs_batches], axis=1)
 
     # ---- Solve ------------------------------------------------------------
@@ -185,15 +173,124 @@ def moe_correct_ridge(
 
     # ---- Correction: Z_corr = Z_orig - sum_k W_k^T Phi_Rk ----------------
     # Per cell n: correction = sum_k R_eff[k,n] * sum_c W[k, 1+code_c(n), :]
-    corr = jnp.zeros_like(Zf)
-    for c, oh in enumerate(onehots):
-        o = offsets[c]
-        Wc = W[:, 1 + o : 1 + o + cfg.B_vec[c], :]  # (K, B_c, d)
-        corr = corr + jnp.einsum(
-            "kn,nb,kbd->dn", R_eff, oh, Wc, preferred_element_type=f32
-        )
+    if segments is None:
+        corr = _correction_dense(cfg, W, R_eff, ctx)
+    else:
+        corr = _correction_segmented(cfg, W, ctx, segments)
     Z_corr = (Zf - corr).astype(Z_orig.dtype)
     return Z_corr, Y_new, W
+
+
+def _moments_dense(cfg, R_eff, Zf, codes):
+    """One-hot contractions: O(K·N·B·d). Small-N path + test reference."""
+    f32 = jnp.float32
+    K = cfg.K
+    onehots = [
+        jax.nn.one_hot(codes[c], cfg.B_vec[c], dtype=f32)  # (N, B_c)
+        for c in range(cfg.n_covariates)
+    ]
+    O_eff = jnp.concatenate(
+        [jnp.dot(R_eff, oh, preferred_element_type=f32) for oh in onehots],
+        axis=1,
+    )
+    rhs_rows = [
+        jnp.einsum("kn,nb,dn->kbd", R_eff, oh, Zf, preferred_element_type=f32)
+        for oh in onehots
+    ]
+    rhs_batches = jnp.concatenate(rhs_rows, axis=1)
+    cross_blocks = {}
+    for c1 in range(cfg.n_covariates):
+        for c2 in range(c1 + 1, cfg.n_covariates):
+            b1, b2 = cfg.B_vec[c1], cfg.B_vec[c2]
+            joint = codes[c1] * b2 + codes[c2]  # (N,)
+            ohj = jax.nn.one_hot(joint, b1 * b2, dtype=f32)
+            cross_blocks[(c1, c2)] = jnp.dot(
+                R_eff, ohj, preferred_element_type=f32
+            ).reshape(K, b1, b2)
+    return O_eff, rhs_batches, cross_blocks, onehots
+
+
+def _correction_dense(cfg, W, R_eff, onehots):
+    f32 = jnp.float32
+    corr = None
+    for c, oh in enumerate(onehots):
+        o = cfg.covariate_offsets[c]
+        Wc = W[:, 1 + o : 1 + o + cfg.B_vec[c], :]  # (K, B_c, d)
+        t = jnp.einsum(
+            "kn,nb,kbd->dn", R_eff, oh, Wc, preferred_element_type=f32
+        )
+        corr = t if corr is None else corr + t
+    return corr
+
+
+def _pad1(X):
+    return jnp.concatenate(
+        [X, jnp.zeros((*X.shape[:-1], 1), X.dtype)], axis=-1
+    )
+
+
+def _moments_segmented(cfg, R_eff, Zf, codes, segments):
+    """Batch-pure tile matmuls: O(K·N·d) (see ops/segments.py)."""
+    f32 = jnp.float32
+    K = cfg.K
+    R_p = _pad1(R_eff)
+    Z_p = _pad1(Zf)
+    O_parts, S_parts, R_s_all = [], [], []
+    for c, seg in enumerate(segments):
+        Bc = cfg.B_vec[c]
+        R_s = R_p[:, seg.tile_cells]  # (K, nt, T)
+        Z_s = Z_p[:, seg.tile_cells]  # (d, nt, T)
+        R_s_all.append(R_s)
+        rs_t = jnp.sum(R_s, axis=2)  # (K, nt)
+        O_c = jax.ops.segment_sum(
+            rs_t.T, seg.tile_batch, num_segments=Bc
+        ).T  # (K, B_c)
+        S_t = jnp.einsum(
+            "knt,dnt->nkd", R_s, Z_s, preferred_element_type=f32
+        )  # (nt, K, d)
+        S_c = jax.ops.segment_sum(S_t, seg.tile_batch, num_segments=Bc)
+        O_parts.append(O_c)
+        S_parts.append(jnp.swapaxes(S_c, 0, 1))  # (K, B_c, d)
+    O_eff = jnp.concatenate(O_parts, axis=1)
+    rhs_batches = jnp.concatenate(S_parts, axis=1)
+
+    cross_blocks = {}
+    codes_p = _pad1(codes)
+    for c1 in range(cfg.n_covariates):
+        seg = segments[c1]
+        for c2 in range(cfg.n_covariates):
+            if c2 == c1 or (c2, c1) in cross_blocks or (c1, c2) in cross_blocks:
+                continue
+            b1, b2 = cfg.B_vec[c1], cfg.B_vec[c2]
+            c2_s = codes_p[c2][seg.tile_cells]  # (nt, T)
+            oh2 = jax.nn.one_hot(c2_s, b2, dtype=f32)  # (nt, T, B2)
+            X_t = jnp.einsum(
+                "knt,ntb->nkb", R_s_all[c1], oh2, preferred_element_type=f32
+            )
+            X = jax.ops.segment_sum(X_t, seg.tile_batch, num_segments=b1)
+            cross_blocks[(min(c1, c2), max(c1, c2))] = jnp.swapaxes(X, 0, 1)
+    return O_eff, rhs_batches, cross_blocks, R_s_all
+
+
+def _correction_segmented(cfg, W, R_s_all, segments):
+    f32 = jnp.float32
+    d = cfg.d
+    corr = None
+    for c, seg in enumerate(segments):
+        o = cfg.covariate_offsets[c]
+        Bc = cfg.B_vec[c]
+        Wc = W[:, 1 + o : 1 + o + Bc, :]  # (K, B_c, d)
+        W_t = jnp.take(Wc, seg.tile_batch, axis=1)  # (K, nt, d)
+        corr_t = jnp.einsum(
+            "knd,knt->dnt", W_t, R_s_all[c], preferred_element_type=f32
+        )  # (d, nt, T)
+        nt, T = seg.tile_cells.shape
+        corr_flat = jnp.concatenate(
+            [corr_t.reshape(d, nt * T), jnp.zeros((d, 1), f32)], axis=1
+        )
+        t = corr_flat[:, seg.pos[:-1]]
+        corr = t if corr is None else corr + t
+    return corr
 
 
 def _solve_ridge(cfg: HarmonyConfig, G: jnp.ndarray, rhs: jnp.ndarray):
