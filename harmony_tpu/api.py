@@ -94,6 +94,23 @@ class HarmonyResult:
         """(N, d) corrected embedding, the default user-facing output."""
         return self.Z_corr.T
 
+    @property
+    def W(self) -> np.ndarray:
+        """(K, B+1, d) per-cluster MoE betas, intercept rows zeroed.
+
+        The reference exposes only the last cluster's W buffer
+        (src/harmony.cpp:686); here the full batched tensor is recomputed
+        from the final state.
+        """
+        import harmony_tpu.ops as ops
+
+        _, _, W = ops.moe_correct_ridge(
+            self.config, self.state.Z_orig, self.state.R, self.state.O,
+            self.state.E, self.state.codes, self.state.batch_sizes,
+            self.state.lamb, self.state.Y,
+        )
+        return np.asarray(W)
+
     def get_lambda(self) -> np.ndarray:
         """K x (B+1) ridge-penalty matrix (``getLambda``, src/harmony.cpp:657-669)."""
         if self.config.lambda_estimation:
@@ -155,6 +172,22 @@ def run_harmony(
     Returns (N, d) corrected embeddings, or a :class:`HarmonyResult` when
     ``return_object=True``.
     """
+    # Generic dispatch (the UseMethod analog, R/RunHarmony.R:27-29): an
+    # AnnData-like first argument routes to the ecosystem adapter, with
+    # meta_data acting as group.by.vars.
+    if hasattr(data_mat, "obsm") and hasattr(data_mat, "obs"):
+        from .adapters import run_harmony_anndata
+
+        group_by = vars_use if vars_use is not None else meta_data
+        if isinstance(group_by, str):
+            group_by = [group_by]
+        return run_harmony_anndata(
+            data_mat, group_by, theta=theta, sigma=sigma, lamb=lamb,
+            nclust=nclust, max_iter=max_iter, early_stop=early_stop,
+            verbose=verbose, seed=seed, options=options, dtype=dtype,
+            ridge_solver=ridge_solver, mesh=mesh, **legacy,
+        )
+
     check_legacy_args(**legacy)
     from .runtime import enable_compilation_cache
 

@@ -161,6 +161,10 @@ class HarmonyConfig:
     # large N where the O(K N B d) dense cost dominates).
     mstep_mode: str = "auto"
     segment_tile: int = 1024
+    # E-step round implementation: 'xla' (ops/estep.py fori_loop) or
+    # 'pallas' (ops/pallas_estep.py single fused kernel).
+    estep_impl: str = "xla"
+    estep_sub_tile: int = 2048
 
     verbose: bool = False
 

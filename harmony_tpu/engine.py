@@ -151,10 +151,21 @@ def cluster(
         state, it, done = carry
         return (~done) & (it < cfg.max_iter_cluster)
 
+    if cfg.estep_impl == "pallas":
+        from .ops.pallas_estep import pallas_block_update_round
+
+        update_round = partial(
+            pallas_block_update_round,
+            sub_tile=cfg.estep_sub_tile,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        update_round = ops.block_update_round
+
     def body(carry):
         state, it, _ = carry
         perm = perms[it]
-        res = ops.block_update_round(
+        res = update_round(
             cfg, state.Z_corr, state.Y, state.R, state.E, state.O,
             state.codes, state.Pr_b, state.sigma, state.theta, perm,
         )

@@ -53,6 +53,28 @@ def test_anndata_errors(adata):
         run_harmony_anndata(adata, ["dataset"], dims_use=[0, 99])
 
 
+def test_generic_dispatch_on_anndata(adata):
+    """run_harmony(adata, 'dataset') routes to the AnnData adapter
+    (UseMethod analog)."""
+    from harmony_tpu import run_harmony
+
+    out = run_harmony(adata, "dataset", nclust=5, max_iter=1, seed=0)
+    assert out is adata
+    assert adata.obsm["X_harmony"].shape == (150, 8)
+
+
+def test_result_W_shape():
+    from harmony_tpu import run_harmony
+
+    Z, meta = make_synthetic(None, n_cells=100, d=6, seed=2)
+    obj = run_harmony(
+        Z, meta, ["dataset"], nclust=4, max_iter=1, return_object=True, seed=0
+    )
+    W = obj.W
+    assert W.shape == (obj.K, obj.B + 1, obj.d)
+    np.testing.assert_allclose(W[:, 0, :], 0.0)
+
+
 def test_dataframe_adapter():
     Z, meta = make_synthetic(None, n_cells=120, d=6, seed=3)
     out = run_harmony_dataframe(Z, meta, ["dataset"], nclust=4, max_iter=1, seed=0)
