@@ -31,6 +31,8 @@ def main() -> int:
     result = run_bench(
         n_cells=size, d=d, n_batches=n_batches, nclust=nclust, max_iter=3,
         baseline_cells_per_sec=baseline,
+        estep_impl=os.environ.get("HARMONY_BENCH_ESTEP"),
+        mstep_mode=os.environ.get("HARMONY_BENCH_MSTEP"),
     )
     print(json.dumps(result))
     return 0

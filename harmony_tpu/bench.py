@@ -45,6 +45,8 @@ def run_bench(
     max_iter: int = 2,
     seed: int = 0,
     baseline_cells_per_sec: Optional[float] = None,
+    estep_impl: Optional[str] = None,
+    mstep_mode: Optional[str] = None,
 ) -> dict:
     """Time harmonize rounds; returns the bench.py JSON-line payload.
 
@@ -79,6 +81,15 @@ def run_bench(
         n_cells=n_cells, d=d, design=design, nclust=nclust,
         max_iter=max_iter, early_stop=False, options=options, verbose=False,
     )
+    import dataclasses
+
+    overrides = {}
+    if estep_impl:
+        overrides["estep_impl"] = estep_impl
+    if mstep_mode:
+        overrides["mstep_mode"] = mstep_mode
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
     hp = expand_hyperparams(design, cfg.K, None, 0.1, 1.0, options.tau)
     key = jax.random.PRNGKey(seed)
     state = init_state(cfg, Zt, design, hp.sigma, hp.theta, hp.lamb, key)
@@ -127,6 +138,8 @@ def run_bench(
         "first_iter_with_compile_s": round(compile_and_first, 2),
         "n_devices": n_devices,
         "platform": jax.devices()[0].platform,
+        "estep_impl": cfg.estep_impl,
+        "mstep": "segment" if cfg.use_segments else "dense",
     }
     if baseline_cells_per_sec:
         result["vs_baseline"] = round(

@@ -230,7 +230,10 @@ class HarmonyConfig:
             return True
         if self.mstep_mode == "dense":
             return False
-        return self.N >= 65536
+        # XLA's dense one-hot contraction wins at small B (measured: 26ms
+        # dense vs 46ms segmented at N=500k, B=10 on v5e); the segmented
+        # path's O(K N d) only pays off once B is large.
+        return self.N >= 65536 and self.B >= 32
 
     @property
     def norm_const(self) -> float:
