@@ -37,11 +37,16 @@ def _seed_centroids(
 
     Xv = X[:, :n_valid]  # race only over logical cells (pad-invariant draws)
 
-    def body(carry, inp):
-        Y, chosen = carry
-        k, kk = inp
-        y = jax.lax.dynamic_slice_in_dim(Y, k, 1, axis=1)  # (d, 1)
-        dist = jnp.abs(2.0 * (1.0 - (y.T @ Xv)[0]))  # (n_valid,)
+    # The reference races each slot against its *initial* random column
+    # (Y.col(i) is only replaced after slot i samples, src/utils.cpp:25-45),
+    # so all K distance rows come from one (K, d) x (d, N) MXU matmul; the
+    # sequential part is just the race argmin + dedupe on (N,) vectors.
+    D = jnp.abs(
+        2.0 * (1.0 - jnp.dot(Y0.T, Xv, preferred_element_type=jnp.float32))
+    ).astype(X.dtype)  # (K, n_valid)
+
+    def body(chosen, inp):
+        dist, kk = inp
         u = jax.random.uniform(
             kk, (n_valid,), minval=jnp.finfo(X.dtype).tiny, maxval=1.0
         )
@@ -49,14 +54,11 @@ def _seed_centroids(
         prob = jnp.where(chosen, jnp.inf, prob)  # dedupe (src/utils.cpp:39-43)
         idx = jnp.argmin(prob)
         chosen = chosen.at[idx].set(True)
-        x_col = jax.lax.dynamic_slice_in_dim(X, idx, 1, axis=1)
-        Y = jax.lax.dynamic_update_slice_in_dim(Y, x_col, k, axis=1)
-        return (Y, chosen), None
+        return chosen, idx
 
     chosen0 = jnp.zeros((n_valid,), dtype=bool)
-    ks = jnp.arange(K, dtype=jnp.int32)
-    (Y, _), _ = jax.lax.scan(body, (Y0, chosen0), (ks, race_keys))
-    return Y
+    _, picks = jax.lax.scan(body, chosen0, (D, race_keys))
+    return X[:, picks]
 
 
 def _lloyd_round(
