@@ -120,10 +120,43 @@ class HarmonyResult:
             np.asarray(self.state.lamb), (self.K, self.B + 1)
         ).copy()
 
+    # -- hyperparameters (module fields, src/harmony.cpp:672-696) ----------
+    @property
+    def sigma(self) -> np.ndarray:
+        return np.asarray(self.state.sigma)
+
+    @property
+    def theta(self) -> np.ndarray:
+        return np.asarray(self.state.theta)
+
+    @property
+    def Pr_b(self) -> np.ndarray:
+        return np.asarray(self.state.Pr_b)
+
+    @property
+    def B_vec(self):
+        return self.config.B_vec
+
+    @property
+    def alpha(self) -> float:
+        return self.config.alpha
+
     # -- traces ------------------------------------------------------------
     @property
     def objective_kmeans(self) -> np.ndarray:
         return self._traces()["objective_kmeans"]
+
+    @property
+    def objective_kmeans_dist(self) -> np.ndarray:
+        return self._traces()["objective_kmeans_dist"]
+
+    @property
+    def objective_kmeans_entropy(self) -> np.ndarray:
+        return self._traces()["objective_kmeans_entropy"]
+
+    @property
+    def objective_kmeans_cross(self) -> np.ndarray:
+        return self._traces()["objective_kmeans_cross"]
 
     @property
     def objective_harmony(self) -> np.ndarray:

@@ -26,11 +26,15 @@ def harmonize(
     max_iter: Optional[int] = None,
     verbose: bool = False,
     perms: Optional[np.ndarray] = None,
+    abort=None,
 ) -> HarmonyState:
     """Run up to ``max_iter`` rounds of (cluster, correct), with early stop.
 
     ``perms`` optionally injects per-round cell permutations of shape
     (rounds, max_iter_cluster, N) for trajectory-parity testing.
+    ``abort`` is an optional :class:`harmony_tpu.runtime.AbortFlag`, polled
+    between rounds (the RcppProgress check_abort analog,
+    src/harmony.cpp:233-234 — device steps are not interruptible).
     """
     cfg = engine.cfg
     if max_iter is None:
@@ -39,6 +43,8 @@ def harmonize(
         return state
 
     for it in range(max_iter):
+        if abort is not None and abort.aborted():
+            raise KeyboardInterrupt("harmony run aborted by user")
         t0 = time.perf_counter()
         if perms is not None:
             state = engine.cluster(state, perms=jnp.asarray(perms[it]))
