@@ -19,8 +19,11 @@ cells see the same (E, O) — the state after removing the whole block
 (src/harmony.cpp:309-331) — so the commit points are the only places E/O
 may change.
 
-Objective accumulators ride in SMEM scratch and are emitted with the final
-stats, giving the round + objective in a single kernel.
+Layout note: Mosaic requires the last two dims of a block to divide
+(8, 128) or equal the array's, so the (n_blocks, S) block structure is
+flattened to one padded cell axis of length L = n_blocks * S_pad and
+addressed with linear block indices i * nsub + j; the small per-block
+statistics ride whole in VMEM and are indexed dynamically.
 """
 
 from __future__ import annotations
@@ -39,36 +42,35 @@ from .estep import RoundResult
 
 
 def _round_kernel(
-    # inputs (per grid step blocks unless noted)
+    # inputs
     Yt_ref,  # (K, d) full
-    Z_ref,  # (d, 1, T) sub-tile of the block layout
-    oh_ref,  # (1, T, B) one-hot sub-tile
+    Z_ref,  # (d, T) sub-tile
+    oh_ref,  # (T, B) one-hot sub-tile
     m_ref,  # (1, T) validity
-    rsum_old_ref,  # (1, K) old block row-sums
-    O_old_ref,  # (1, K, B) old block batch-sums
-    E_in_ref,  # (K, B) initial E
-    O_in_ref,  # (K, B) initial O
+    rsum_old_ref,  # (nb, K) full: old block row-sums
+    O_old_ref,  # (nb, K, B) full: old block batch-sums
+    E_in_ref,  # (K, B)
+    O_in_ref,  # (K, B)
     Pr_ref,  # (1, B)
     sigma_ref,  # (K, 1)
     theta_ref,  # (1, B)
     # outputs
-    R_out_ref,  # (K, 1, T)
+    R_out_ref,  # (K, T)
     E_out_ref,  # (K, B)
     O_out_ref,  # (K, B)
-    acc_ref,  # (1, 2) SMEM: kmeans_error, entropy accumulators
+    acc_ref,  # (1, 2) SMEM
     # scratch
-    E_s,  # (K, B) committed E
-    O_s,  # (K, B) committed O
-    rpend_s,  # (K, 1) pending row-sums
-    Opend_s,  # (K, B) pending batch-sums
-    accv_s,  # (1, 2) f32 accumulators (VMEM)
+    E_s,  # (K, B)
+    O_s,  # (K, B)
+    rpend_s,  # (K, 1)
+    Opend_s,  # (K, B)
+    accv_s,  # (1, 2)
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
     nsub = pl.num_programs(1)
-    first = (i == 0) & (j == 0)
 
-    @pl.when(first)
+    @pl.when((i == 0) & (j == 0))
     def _():
         E_s[:] = E_in_ref[:]
         O_s[:] = O_in_ref[:]
@@ -77,22 +79,23 @@ def _round_kernel(
     @pl.when(j == 0)
     def _():
         # Step 1: remove the block's old contribution (src/harmony.cpp:312-313)
-        E_s[:] = E_s[:] - rsum_old_ref[0][:, None] * Pr_ref[0][None, :]
-        O_s[:] = O_s[:] - O_old_ref[0]
+        rs_old = rsum_old_ref[i, :]  # (K,)
+        E_s[:] = E_s[:] - rs_old[:, None] * Pr_ref[0, :][None, :]
+        O_s[:] = O_s[:] - O_old_ref[i]
         rpend_s[:] = jnp.zeros_like(rpend_s)
         Opend_s[:] = jnp.zeros_like(Opend_s)
 
     # Step 2: recompute this sub-tile's assignments against the committed
-    # (block-removed) statistics.
-    Z_t = Z_ref[:, 0, :]  # (d, T)
-    oh_t = oh_ref[0]  # (T, B)
-    m_t = m_ref[0]  # (T,)
+    # (block-removed) statistics (src/harmony.cpp:318-323).
+    Z_t = Z_ref[:]  # (d, T)
+    oh_t = oh_ref[:]  # (T, B)
+    m_t = m_ref[0, :]  # (T,)
     g = jnp.dot(Yt_ref[:], Z_t, preferred_element_type=jnp.float32)  # (K, T)
     d_t = 2.0 * (1.0 - g)
     R_n = jnp.exp(-d_t / sigma_ref[:])
     R_n = R_n / jnp.sum(R_n, axis=0, keepdims=True)
     E, O = E_s[:], O_s[:]
-    pen = ((2.0 * E + 1.0) / (O + E + 1.0)) ** theta_ref[0][None, :]  # (K, B)
+    pen = ((2.0 * E + 1.0) / (O + E + 1.0)) ** theta_ref[0, :][None, :]
     pc = jnp.dot(pen, oh_t.T, preferred_element_type=jnp.float32)  # (K, T)
     R_n = R_n * pc
     colsum = jnp.sum(R_n, axis=0, keepdims=True)
@@ -104,18 +107,16 @@ def _round_kernel(
     Opend_s[:] = Opend_s[:] + jnp.dot(
         R_n, oh_t, preferred_element_type=jnp.float32
     )
-    acc_d = jnp.sum(R_n * d_t)
     xlogx = jnp.where(R_n > 0, R_n * jnp.log(R_n), 0.0)
-    acc_e = jnp.sum(sigma_ref[:] * xlogx)
-    accv_s[0, 0] = accv_s[0, 0] + acc_d
-    accv_s[0, 1] = accv_s[0, 1] + acc_e
+    accv_s[0, 0] = accv_s[0, 0] + jnp.sum(R_n * d_t)
+    accv_s[0, 1] = accv_s[0, 1] + jnp.sum(sigma_ref[:] * xlogx)
 
-    R_out_ref[:, 0, :] = R_n
+    R_out_ref[:] = R_n
 
     @pl.when(j == nsub - 1)
     def _():
         # commit the block's new contribution (src/harmony.cpp:329-330)
-        E_s[:] = E_s[:] + rpend_s[:] * Pr_ref[0][None, :]
+        E_s[:] = E_s[:] + rpend_s[:] * Pr_ref[0, :][None, :]
         O_s[:] = O_s[:] + Opend_s[:]
         E_out_ref[:] = E_s[:]
         O_out_ref[:] = O_s[:]
@@ -154,40 +155,47 @@ def pallas_block_update_round(
         padw = ((0, 0), (0, S_pad - S))
         idx = jnp.pad(idx, padw, constant_values=Np)
         mask = jnp.pad(mask, padw, constant_values=False)
-    mf = mask.astype(f32)
+    L = nb * S_pad
+    flat_idx = idx.reshape(-1)  # (L,)
+    mf = mask.astype(f32).reshape(1, L)
 
     pad1 = lambda X: jnp.concatenate(
         [X, jnp.zeros((*X.shape[:-1], 1), X.dtype)], axis=-1
     )
-    R_blk = pad1(R.astype(f32))[:, idx]  # (K, nb, S_pad)
-    Z_blk = pad1(Z.astype(f32))[:, idx]  # (d, nb, S_pad)
-    c_blk = pad1(codes)[:, idx]
+    R_lay = pad1(R.astype(f32))[:, flat_idx]  # (K, L)
+    Z_lay = pad1(Z.astype(f32))[:, flat_idx]  # (d, L)
+    c_lay = pad1(codes)[:, flat_idx]  # (ncov, L)
 
     b_ids = jnp.arange(B, dtype=jnp.int32)
-    oh = jnp.zeros((nb, S_pad, B), dtype=f32)
+    oh = jnp.zeros((L, B), dtype=f32)
     for c, off in enumerate(offsets):
         oh = oh + (
-            (c_blk[c][..., None] + off == b_ids) & mask[..., None]
+            (c_lay[c][:, None] + off == b_ids) & (mf[0][:, None] > 0)
         ).astype(f32)
 
-    R_old = R_blk * mf[None]
+    R_old = (R_lay * mf).reshape(K, nb, S_pad)
     rsum_old = jnp.einsum("kbs->bk", R_old)  # (nb, K)
     O_old = jnp.einsum(
-        "kbs,bsc->bkc", R_old, oh, preferred_element_type=f32
+        "kbs,bsc->bkc", R_old, oh.reshape(nb, S_pad, B),
+        preferred_element_type=f32,
     )  # (nb, K, B)
 
     T = sub_tile
     grid = (nb, nsub)
+
+    def lin(i, j):
+        return i * nsub + j
+
     kernel = pl.pallas_call(
         _round_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((K, d), lambda i, j: (0, 0)),  # Yt
-            pl.BlockSpec((d, 1, T), lambda i, j: (0, i, j)),  # Z sub-tile
-            pl.BlockSpec((1, T, B), lambda i, j: (i, j, 0)),  # oh
-            pl.BlockSpec((1, T), lambda i, j: (i, j)),  # mask
-            pl.BlockSpec((1, K), lambda i, j: (i, 0)),  # rsum_old
-            pl.BlockSpec((1, K, B), lambda i, j: (i, 0, 0)),  # O_old
+            pl.BlockSpec((d, T), lambda i, j: (0, lin(i, j))),  # Z tile
+            pl.BlockSpec((T, B), lambda i, j: (lin(i, j), 0)),  # oh tile
+            pl.BlockSpec((1, T), lambda i, j: (0, lin(i, j))),  # mask
+            pl.BlockSpec((nb, K), lambda i, j: (0, 0)),  # rsum_old
+            pl.BlockSpec((nb, K, B), lambda i, j: (0, 0, 0)),  # O_old
             pl.BlockSpec((K, B), lambda i, j: (0, 0)),  # E_in
             pl.BlockSpec((K, B), lambda i, j: (0, 0)),  # O_in
             pl.BlockSpec((1, B), lambda i, j: (0, 0)),  # Pr_b
@@ -195,7 +203,7 @@ def pallas_block_update_round(
             pl.BlockSpec((1, B), lambda i, j: (0, 0)),  # theta
         ],
         out_specs=[
-            pl.BlockSpec((K, 1, T), lambda i, j: (0, i, j)),  # R_out
+            pl.BlockSpec((K, T), lambda i, j: (0, lin(i, j))),  # R_out
             pl.BlockSpec((K, B), lambda i, j: (0, 0)),  # E_out
             pl.BlockSpec((K, B), lambda i, j: (0, 0)),  # O_out
             pl.BlockSpec(
@@ -203,7 +211,7 @@ def pallas_block_update_round(
             ),  # acc
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((K, nb, S_pad), f32),
+            jax.ShapeDtypeStruct((K, L), f32),
             jax.ShapeDtypeStruct((K, B), f32),
             jax.ShapeDtypeStruct((K, B), f32),
             jax.ShapeDtypeStruct((1, 2), f32),
@@ -219,7 +227,7 @@ def pallas_block_update_round(
     )
     R_new, E_out, O_out, acc = kernel(
         Y.T.astype(f32),
-        Z_blk,
+        Z_lay,
         oh,
         mf,
         rsum_old,
@@ -232,12 +240,9 @@ def pallas_block_update_round(
     )
 
     # scatter back via the inverse map (same as the XLA path)
-    flat_idx = idx.reshape(-1)
-    pos = jnp.full((Np + 1,), nb * S_pad, dtype=jnp.int32)
-    pos = pos.at[flat_idx].set(jnp.arange(nb * S_pad, dtype=jnp.int32))
-    R_flat = jnp.concatenate(
-        [R_new.reshape(K, nb * S_pad), jnp.zeros((K, 1), f32)], axis=1
-    )
+    pos = jnp.full((Np + 1,), L, dtype=jnp.int32)
+    pos = pos.at[flat_idx].set(jnp.arange(L, dtype=jnp.int32))
+    R_flat = jnp.concatenate([R_new, jnp.zeros((K, 1), f32)], axis=1)
     R_out = R_flat[:, pos[:Np]].astype(R.dtype)
     return RoundResult(
         R=R_out,
