@@ -22,8 +22,7 @@ from .config import (
     check_legacy_args,
     harmony_options,
 )
-from .driver import harmonize, run as _run
-from .engine import make_engine
+from .driver import run as _run
 from .preprocess import (
     DesignMatrix,
     build_design,

@@ -61,7 +61,6 @@ def run_bench(
     enable_compilation_cache()
 
     from .config import harmony_options
-    from .driver import harmonize
     from .engine import make_engine
     from .preprocess import (
         build_design,

@@ -28,9 +28,6 @@ statistics ride whole in VMEM and are indexed dynamically.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -221,7 +218,7 @@ def pallas_block_update_round(
             pltpu.VMEM((K, B), f32),  # O_s
             pltpu.VMEM((K, 1), f32),  # rpend
             pltpu.VMEM((K, B), f32),  # Opend
-            pltpu.VMEM((1, 2), f32),  # accv
+            pltpu.SMEM((1, 2), f32),  # accv (scalar accumulators)
         ],
         interpret=interpret,
     )

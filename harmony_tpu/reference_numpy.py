@@ -15,7 +15,6 @@ The reference's own build supports a double-precision mode
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import List, Optional, Sequence
 
 import numpy as np

@@ -11,8 +11,6 @@ src/utils.cpp:132-147).
 
 from __future__ import annotations
 
-from typing import Union
-
 import numpy as np
 
 

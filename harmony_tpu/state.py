@@ -30,8 +30,6 @@ lamb           (B+1,)      ridge penalties (0 intercept); estimation mode
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
