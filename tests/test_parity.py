@@ -148,6 +148,74 @@ def test_parity_batch_cutoff_path():
     )
 
 
+def test_parity_multicovariate_cutoff_path():
+    """Two covariates with an aggressive cutoff: some batches drop while
+    their cells stay via the other covariate (the union-of-kept-cells rule,
+    src/harmony.cpp:389-402) — the hardest masking case."""
+    rng = np.random.default_rng(13)
+    n = 240
+    Z = rng.normal(size=(n, 6))
+    donors = np.array(["d1"] * 110 + ["d2"] * 110 + ["rare"] * 20)
+    Z[220:] += 6.0
+    batch = np.array([f"b{i%2}" for i in range(n)])
+    meta = {"donor": donors, "batch": batch}
+    opts = harmony_options(batch_prop_cutoff=4e-2)
+    cfg, design, oracle, state, Y0, perms = _setup(
+        Z, meta, ["donor", "batch"], nclust=5, lamb=1.0, max_iter=2,
+        options=opts, theta=[1.0, 1.0],
+    )
+
+    oracle.init_cluster(Y0)
+    oracle.harmonize(perms, max_iter=2)
+
+    engine = make_engine(cfg)
+    state = engine.init_cluster_from(state, jnp.asarray(Y0))
+    state = harmonize(engine, state, max_iter=2, perms=perms)
+
+    np.testing.assert_allclose(
+        np.asarray(state.Z_corr), oracle.Z_corr, atol=6e-3
+    )
+    np.testing.assert_allclose(np.asarray(state.Y), oracle.Y, atol=6e-3)
+    np.testing.assert_allclose(
+        state.trace_lists(cfg)["objective_kmeans"],
+        np.array(oracle.objective_kmeans),
+        rtol=3e-4,
+    )
+
+
+def test_parity_three_covariates():
+    """BASELINE.json config 4: three-covariate design exercises all
+    cross-covariate blocks in the ridge normal matrices."""
+    rng = np.random.default_rng(17)
+    n = 300
+    Z = rng.normal(size=(n, 8))
+    meta = {
+        "dataset": np.array([f"ds{i%2}" for i in range(n)]),
+        "donor": np.array([f"dn{i%3}" for i in range(n)]),
+        "batch_id": np.array([f"b{(i//3)%4}" for i in range(n)]),
+    }
+    cfg, design, oracle, state, Y0, perms = _setup(
+        Z, meta, ["dataset", "donor", "batch_id"], nclust=5, lamb=1.0,
+        max_iter=2, theta=[1.0, 1.0, 1.0],
+    )
+
+    oracle.init_cluster(Y0)
+    oracle.harmonize(perms, max_iter=2)
+
+    engine = make_engine(cfg)
+    state = engine.init_cluster_from(state, jnp.asarray(Y0))
+    state = harmonize(engine, state, max_iter=2, perms=perms)
+
+    np.testing.assert_allclose(
+        np.asarray(state.Z_corr), oracle.Z_corr, atol=6e-3
+    )
+    np.testing.assert_allclose(
+        state.trace_lists(cfg)["objective_kmeans"],
+        np.array(oracle.objective_kmeans),
+        rtol=3e-4,
+    )
+
+
 def test_arrowhead_solver_matches_cholesky():
     Z, meta = make_synthetic(None, n_cells=240, d=8, seed=5)
     out = {}
