@@ -33,6 +33,7 @@ def main() -> int:
         baseline_cells_per_sec=baseline,
         estep_impl=os.environ.get("HARMONY_BENCH_ESTEP"),
         mstep_mode=os.environ.get("HARMONY_BENCH_MSTEP"),
+        mesh=os.environ.get("HARMONY_BENCH_MESH"),
     )
     print(json.dumps(result))
     return 0

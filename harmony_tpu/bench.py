@@ -47,6 +47,7 @@ def run_bench(
     baseline_cells_per_sec: Optional[float] = None,
     estep_impl: Optional[str] = None,
     mstep_mode: Optional[str] = None,
+    mesh: Optional[str] = None,
 ) -> dict:
     """Time harmonize rounds; returns the bench.py JSON-line payload.
 
@@ -89,9 +90,20 @@ def run_bench(
         overrides["mstep_mode"] = mstep_mode
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
+    the_mesh = None
+    if mesh == "auto" and jax.device_count() > 1:
+        from .sharding import make_mesh, pad_for_mesh
+
+        the_mesh = make_mesh()
+        cfg = pad_for_mesh(cfg, the_mesh)
+
     hp = expand_hyperparams(design, cfg.K, None, 0.1, 1.0, options.tau)
     key = jax.random.PRNGKey(seed)
     state = init_state(cfg, Zt, design, hp.sigma, hp.theta, hp.lamb, key)
+    if the_mesh is not None:
+        from .sharding import shard_state
+
+        state = shard_state(state, the_mesh)
 
     def sync(st):
         # On some backends (e.g. remote-tunnel PJRT) block_until_ready

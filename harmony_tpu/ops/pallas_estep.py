@@ -71,7 +71,8 @@ def _round_kernel(
     def _():
         E_s[:] = E_in_ref[:]
         O_s[:] = O_in_ref[:]
-        accv_s[:] = jnp.zeros_like(accv_s)
+        accv_s[0, 0] = 0.0  # SMEM: scalar stores only
+        accv_s[0, 1] = 0.0
 
     @pl.when(j == 0)
     def _():

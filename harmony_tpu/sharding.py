@@ -25,8 +25,24 @@ from .state import HarmonyState
 CELL_AXIS = "cells"
 
 
+def initialize_distributed(**kwargs) -> int:
+    """Initialise multi-host JAX (idempotent); returns the process count.
+
+    The multi-host entry point for pod-slice runs: call once per host
+    before building the mesh, then ``make_mesh()`` spans all global
+    devices and the psum set rides ICI within a slice / DCN across
+    slices. Arguments pass through to ``jax.distributed.initialize``
+    (coordinator address etc. default from the TPU environment).
+    """
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:
+        pass  # already initialised (or single-process)
+    return jax.process_count()
+
+
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
-    """1-D mesh over the cell axis (all local devices by default)."""
+    """1-D mesh over the cell axis (all global devices by default)."""
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
