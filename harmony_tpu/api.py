@@ -41,6 +41,8 @@ class HarmonyResult:
     config: HarmonyConfig
     state: HarmonyState
     design: DesignMatrix
+    # inverse of the ingest shuffle (shuffle_mode='rotate'); None otherwise
+    ingest_inv: Optional[np.ndarray] = None
 
     # -- shapes ------------------------------------------------------------
     @property
@@ -59,16 +61,23 @@ class HarmonyResult:
     def B(self) -> int:
         return self.config.B
 
+    def _cells(self, X: np.ndarray) -> np.ndarray:
+        """Slice sharding pads and undo the ingest shuffle on the cell axis."""
+        X = X[:, : self.config.N]
+        if self.ingest_inv is not None:
+            X = X[:, self.ingest_inv]
+        return X
+
     # -- arrays (host copies, reference getters src/harmony.cpp:640-669;
     #    trailing sharding-pad columns are sliced away) -------------------
     @property
     def Z_corr(self) -> np.ndarray:
         """(d, N) corrected embedding (``getZcorr``)."""
-        return np.asarray(self.state.Z_corr)[:, : self.config.N]
+        return self._cells(np.asarray(self.state.Z_corr))
 
     @property
     def Z_orig(self) -> np.ndarray:
-        return np.asarray(self.state.Z_orig)[:, : self.config.N]
+        return self._cells(np.asarray(self.state.Z_orig))
 
     @property
     def Y(self) -> np.ndarray:
@@ -78,7 +87,7 @@ class HarmonyResult:
     @property
     def R(self) -> np.ndarray:
         """(K, N) soft assignments (``getR``)."""
-        return np.asarray(self.state.R)[:, : self.config.N]
+        return self._cells(np.asarray(self.state.R))
 
     @property
     def O(self) -> np.ndarray:
@@ -187,6 +196,7 @@ def run_harmony(
     ridge_solver: str = "cholesky",
     init_Y: Optional[np.ndarray] = None,
     mesh=None,
+    shuffle_mode: str = "permute",
     **legacy,
 ):
     """Run Harmony integration on a cell-embedding matrix.
@@ -232,6 +242,16 @@ def run_harmony(
     Z = orient_embedding(data_mat, N, verbose=verbose)
     d = Z.shape[0]
 
+    # 'rotate' shuffle mode pre-shuffles cells once at ingest (contiguous
+    # blocks are then random subsets; see HarmonyConfig.shuffle_mode).
+    ingest_inv = None
+    if shuffle_mode == "rotate":
+        rng = np.random.default_rng(seed)
+        perm = rng.permutation(N)
+        ingest_inv = np.argsort(perm)
+        Z = Z[:, perm]
+        design = dataclasses.replace(design, codes=design.codes[:, perm])
+
     cfg = resolve_config(
         n_cells=N,
         d=d,
@@ -244,6 +264,7 @@ def run_harmony(
         lambda_estimation=lamb is None,
         dtype=dtype,
         ridge_solver=ridge_solver,
+        shuffle_mode=shuffle_mode,
     )
     if mesh == "auto":
         from .sharding import make_mesh
@@ -274,7 +295,9 @@ def run_harmony(
 
     state = _run(cfg, state, verbose=verbose, Y0=init_Y)
 
-    result = HarmonyResult(config=cfg, state=state, design=design)
+    result = HarmonyResult(
+        config=cfg, state=state, design=design, ingest_inv=ingest_inv
+    )
     if return_object:
         return result
     return result.embeddings

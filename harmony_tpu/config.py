@@ -165,6 +165,14 @@ class HarmonyConfig:
     # 'pallas' (ops/pallas_estep.py single fused kernel).
     estep_impl: str = "xla"
     estep_sub_tile: int = 2048
+    # Cell-shuffle strategy for the block updates. 'permute' reproduces the
+    # reference exactly (fresh random permutation per round; costs one
+    # indexed gather/scatter of the K x N state per round). 'rotate'
+    # assumes cells were shuffled once at ingest and re-randomises each
+    # round with a rotation offset + random block order — contiguous rolls
+    # at streaming bandwidth, no gathers; statistically equivalent but a
+    # different trajectory.
+    shuffle_mode: str = "permute"
 
     verbose: bool = False
 

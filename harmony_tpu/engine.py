@@ -140,11 +140,12 @@ def cluster(
     )
 
     key, sub = jax.random.split(state.key)
-    if perms is None:
-        perm_keys = jax.random.split(sub, cfg.max_iter_cluster)
+    round_keys = jax.random.split(sub, cfg.max_iter_cluster)
+    use_rotate = cfg.shuffle_mode == "rotate" and perms is None
+    if perms is None and not use_rotate:
         perms = jax.vmap(
             lambda k: jax.random.permutation(k, cfg.N).astype(jnp.int32)
-        )(perm_keys)
+        )(round_keys)
     state = dataclasses.replace(state, key=key)
 
     def cond(carry):
@@ -164,11 +165,17 @@ def cluster(
 
     def body(carry):
         state, it, _ = carry
-        perm = perms[it]
-        res = update_round(
-            cfg, state.Z_corr, state.Y, state.R, state.E, state.O,
-            state.codes, state.Pr_b, state.sigma, state.theta, perm,
-        )
+        if use_rotate:
+            res = ops.rotate_update_round(
+                cfg, state.Z_corr, state.Y, state.R, state.E, state.O,
+                state.codes, state.Pr_b, state.sigma, state.theta,
+                round_keys[it],
+            )
+        else:
+            res = update_round(
+                cfg, state.Z_corr, state.Y, state.R, state.E, state.O,
+                state.codes, state.Pr_b, state.sigma, state.theta, perms[it],
+            )
         state = dataclasses.replace(state, R=res.R, E=res.E, O=res.O)
         terms = ops.objective_from_stats(
             cfg, res.kmeans_error, res.entropy, res.O, res.E, state.sigma,

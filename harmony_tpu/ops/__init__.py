@@ -13,7 +13,11 @@ from .assign import (  # noqa: F401
     initial_assignments,
     make_blocks,
 )
-from .estep import block_update_round, objective_from_stats  # noqa: F401
+from .estep import (  # noqa: F401
+    block_update_round,
+    objective_from_stats,
+    rotate_update_round,
+)
 from .objective import compute_objective  # noqa: F401
 from .stats import compute_E, compute_O, penalty_for_cells  # noqa: F401
 from .kmeans import kmeans_centers  # noqa: F401

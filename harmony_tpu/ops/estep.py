@@ -167,6 +167,119 @@ def block_update_round(
     return RoundResult(R=R_out, E=E, O=O, kmeans_error=acc_d, entropy=acc_e)
 
 
+def rotate_update_round(
+    cfg: HarmonyConfig,
+    Z: jnp.ndarray,  # (d, Np)
+    Y: jnp.ndarray,  # (d, K)
+    R: jnp.ndarray,  # (K, Np)
+    E: jnp.ndarray,
+    O: jnp.ndarray,
+    codes: jnp.ndarray,
+    Pr_b: jnp.ndarray,
+    sigma: jnp.ndarray,
+    theta: jnp.ndarray,
+    key: jax.Array,
+) -> RoundResult:
+    """Zero-gather update round (``shuffle_mode='rotate'``).
+
+    Pre-condition: cells were shuffled once at ingest, so any contiguous
+    chunk is a random subset. Each round draws a rotation offset r and a
+    random block order; blocks are contiguous S-slices of the rotated
+    layout. Data movement is two rolls of each cell-indexed array —
+    contiguous copies at streaming bandwidth — instead of the permute
+    path's indexed gathers. The update math per block is identical to
+    :func:`block_update_round`; only block *membership* differs from the
+    reference's fresh full permutation, which changes the (stochastic)
+    trajectory but not the algorithm.
+    """
+    offsets = cfg.covariate_offsets
+    K, Np = R.shape
+    nb = cfg.n_blocks
+    dtype = R.dtype
+    f32 = jnp.float32
+
+    S = -(-Np // nb)
+    L = nb * S
+    k1, k2 = jax.random.split(key)
+    r = jax.random.randint(k1, (), 0, Np)
+    block_order = jax.random.permutation(k2, nb)
+
+    valid = (jnp.arange(Np) < cfg.N).astype(dtype)
+
+    def lay(X):
+        Xr = jnp.roll(X, -r, axis=-1)
+        if L != Np:
+            Xr = jnp.concatenate(
+                [Xr, jnp.zeros((*X.shape[:-1], L - Np), X.dtype)], axis=-1
+            )
+        return Xr
+
+    R_lay = lay(R)
+    Z_lay = lay(Z)
+    c_lay = lay(codes)
+    m_lay = lay(valid[None, :])[0]  # (L,)
+
+    b_ids = jnp.arange(cfg.B, dtype=jnp.int32)
+    oh = jnp.zeros((L, cfg.B), dtype=dtype)
+    for c, off in enumerate(offsets):
+        oh = oh + (
+            (c_lay[c][:, None] + off == b_ids) & (m_lay[:, None] > 0)
+        ).astype(dtype)
+
+    R_old = (R_lay * m_lay[None, :]).reshape(K, nb, S)
+    rsum_old = jnp.einsum("kbs->bk", R_old)
+    O_old = jnp.einsum(
+        "kbs,bsc->bkc", R_old, oh.reshape(nb, S, cfg.B),
+        preferred_element_type=f32,
+    ).astype(dtype)
+
+    theta_row = theta[None, :]
+    sigma_col = sigma[:, None]
+    sigma_f32 = sigma.astype(f32)[:, None]
+
+    def body(i, carry):
+        E, O, acc_d, acc_e, R_new = carry
+        b = block_order[i]
+        start = b * S
+        Z_b = jax.lax.dynamic_slice_in_dim(Z_lay, start, S, axis=1)
+        oh_b = jax.lax.dynamic_slice_in_dim(oh, start, S, axis=0)
+        m_b = jax.lax.dynamic_slice_in_dim(m_lay, start, S, axis=0)
+        cb = jax.lax.dynamic_slice_in_dim(c_lay, start, S, axis=1)
+
+        E = E - rsum_old[b][:, None] * Pr_b[None, :]
+        O = O - O_old[b]
+
+        g = jnp.dot(Y.T, Z_b, preferred_element_type=f32)
+        d_b = (2.0 * (1.0 - g)).astype(dtype)
+        R_n = jnp.exp(-d_b / sigma_col)
+        R_n = l1_normalize_columns(R_n)
+        pen = ((2.0 * E + 1.0) / (O + E + 1.0)) ** theta_row
+        pc = None
+        for c, off in enumerate(offsets):
+            t = jnp.take(pen[:, off:], cb[c], axis=1)
+            pc = t if pc is None else pc + t
+        R_n = l1_normalize_columns(R_n * pc) * m_b[None, :]
+
+        rs = jnp.sum(R_n, axis=1, keepdims=True)
+        E = E + rs * Pr_b[None, :]
+        O = O + jnp.dot(R_n, oh_b, preferred_element_type=f32).astype(dtype)
+        Rf = R_n.astype(f32)
+        acc_d = acc_d + jnp.sum(Rf * d_b.astype(f32))
+        acc_e = acc_e + jnp.sum(
+            sigma_f32 * jnp.where(Rf > 0, Rf * jnp.log(Rf), 0.0)
+        )
+        R_new = jax.lax.dynamic_update_slice_in_dim(R_new, R_n, start, axis=1)
+        return (E, O, acc_d, acc_e, R_new)
+
+    E, O, acc_d, acc_e, R_new = jax.lax.fori_loop(
+        0, nb, body,
+        (E, O, jnp.zeros((), f32), jnp.zeros((), f32),
+         jnp.zeros((K, L), dtype)),
+    )
+    R_out = jnp.roll(R_new[:, :Np], r, axis=1)
+    return RoundResult(R=R_out, E=E, O=O, kmeans_error=acc_d, entropy=acc_e)
+
+
 def objective_from_stats(
     cfg: HarmonyConfig,
     kmeans_error: jnp.ndarray,

@@ -242,6 +242,7 @@ def resolve_config(
     lambda_estimation: bool = False,
     dtype: str = "float32",
     ridge_solver: str = "cholesky",
+    shuffle_mode: str = "permute",
 ) -> HarmonyConfig:
     """Assemble the static engine config (R/ui.R:133-150, 192-194)."""
     if nclust is None:
@@ -262,6 +263,7 @@ def resolve_config(
         batch_prop_cutoff=options.batch_prop_cutoff,
         lambda_estimation=lambda_estimation,
         block_size=options.block_size,
+        shuffle_mode=shuffle_mode,
         dtype=dtype,
         ridge_solver=ridge_solver,
         verbose=verbose,
