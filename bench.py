@@ -34,6 +34,7 @@ def main() -> int:
         estep_impl=os.environ.get("HARMONY_BENCH_ESTEP"),
         mstep_mode=os.environ.get("HARMONY_BENCH_MSTEP"),
         mesh=os.environ.get("HARMONY_BENCH_MESH"),
+        shuffle_mode=os.environ.get("HARMONY_BENCH_SHUFFLE"),
     )
     print(json.dumps(result))
     return 0

@@ -48,6 +48,7 @@ def run_bench(
     estep_impl: Optional[str] = None,
     mstep_mode: Optional[str] = None,
     mesh: Optional[str] = None,
+    shuffle_mode: Optional[str] = None,
 ) -> dict:
     """Time harmonize rounds; returns the bench.py JSON-line payload.
 
@@ -88,6 +89,10 @@ def run_bench(
         overrides["estep_impl"] = estep_impl
     if mstep_mode:
         overrides["mstep_mode"] = mstep_mode
+    if shuffle_mode:
+        # synthetic cells are already in random order; no ingest shuffle
+        # is needed for the benchmark
+        overrides["shuffle_mode"] = shuffle_mode
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
     the_mesh = None
@@ -151,6 +156,7 @@ def run_bench(
         "platform": jax.devices()[0].platform,
         "estep_impl": cfg.estep_impl,
         "mstep": "segment" if cfg.use_segments else "dense",
+        "shuffle_mode": cfg.shuffle_mode,
     }
     if baseline_cells_per_sec:
         result["vs_baseline"] = round(
