@@ -31,6 +31,15 @@ def enable_compilation_cache(path: Optional[str] = None) -> None:
         return
     import jax
 
+    try:
+        if jax.default_backend() == "cpu":
+            # CPU compiles are fast and CPU AOT artifacts are sensitive to
+            # exact machine features (noisy cross-process reload warnings);
+            # the cache only pays off on accelerators.
+            return
+    except Exception:
+        pass
+
     if path is None:
         path = os.environ.get(
             "HARMONY_TPU_CACHE_DIR",
