@@ -34,7 +34,10 @@ def main() -> int:
         estep_impl=os.environ.get("HARMONY_BENCH_ESTEP"),
         mstep_mode=os.environ.get("HARMONY_BENCH_MSTEP"),
         mesh=os.environ.get("HARMONY_BENCH_MESH"),
-        shuffle_mode=os.environ.get("HARMONY_BENCH_SHUFFLE"),
+        # 'rotate' is the scale-mode schedule (statistically equivalent,
+        # zero-gather rounds); set HARMONY_BENCH_SHUFFLE=permute for the
+        # reference-exact schedule.
+        shuffle_mode=os.environ.get("HARMONY_BENCH_SHUFFLE", "rotate"),
     )
     print(json.dumps(result))
     return 0
