@@ -99,11 +99,22 @@ def moe_correct_ridge(
 
     # Cell mask: kept iff ANY of the cell's batches is kept (union over
     # covariates of the kept batches' cell sets, src/harmony.cpp:389-402).
-    cell_mask = None
-    for c, off in enumerate(offsets):
-        kc = jnp.take(keep[:, off : off + cfg.B_vec[c]], codes[c], axis=1)
-        cell_mask = kc if cell_mask is None else (cell_mask | kc)
-    R_eff = R.astype(f32) * cell_mask.astype(f32)  # (K, N)
+    # Fast path: when no batch is dropped anywhere (the common case with
+    # the 1e-5 default cutoff) the mask is all-true and the K x N gather +
+    # multiply is skipped at runtime via a real branch.
+    def _masked(R):
+        cell_mask = None
+        for c, off in enumerate(offsets):
+            kc = jnp.take(keep[:, off : off + cfg.B_vec[c]], codes[c], axis=1)
+            cell_mask = kc if cell_mask is None else (cell_mask | kc)
+        return R.astype(f32) * cell_mask.astype(f32)
+
+    R_eff = jax.lax.cond(
+        jnp.all(keep),
+        lambda R: R.astype(f32),
+        _masked,
+        R,
+    )  # (K, N)
 
     Zf = Z_orig.astype(f32)
     r_tot = jnp.sum(R_eff, axis=1)  # (K,) = Phi_Rk intercept moment
