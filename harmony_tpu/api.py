@@ -211,6 +211,11 @@ def run_harmony(
     :func:`harmony_tpu.sharding.make_mesh`) or ``"auto"`` to shard cells
     data-parallel over all local devices.
 
+    ``shuffle_mode``: ``"permute"`` (default) reproduces the reference's
+    fresh random cell permutation per clustering round; ``"rotate"`` is the
+    statistically-equivalent zero-gather schedule for production-scale runs
+    (see PERFORMANCE.md).
+
     Returns (N, d) corrected embeddings, or a :class:`HarmonyResult` when
     ``return_object=True``.
     """

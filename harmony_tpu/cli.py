@@ -57,6 +57,8 @@ def _cmd_run(args) -> int:
         max_iter=args.max_iter,
         seed=args.seed,
         verbose=args.verbose,
+        shuffle_mode=args.shuffle_mode,
+        mesh=args.mesh,
         options=harmony_options(),
     )
     dt = time.perf_counter() - t0
@@ -90,6 +92,14 @@ def main(argv=None) -> int:
     pr.add_argument("--lamb", type=float, default=None)
     pr.add_argument("--max-iter", type=int, default=10)
     pr.add_argument("--seed", type=int, default=0)
+    pr.add_argument(
+        "--shuffle-mode", choices=["permute", "rotate"], default="permute",
+        help="'rotate' = fast zero-gather schedule for large runs",
+    )
+    pr.add_argument(
+        "--mesh", choices=["auto"], default=None,
+        help="'auto' shards cells over all local devices",
+    )
     pr.add_argument("--verbose", action="store_true")
     pr.set_defaults(fn=_cmd_run)
 
