@@ -241,23 +241,31 @@ def _pad1(X):
 
 
 def _moments_segmented(cfg, R_eff, Zf, codes, segments):
-    """Batch-pure tile matmuls: O(K·N·d) (see ops/segments.py)."""
+    """Batch-pure tile matmuls: O(K·N·d) (see ops/segments.py).
+
+    All tile tensors use a *leading* tile axis — (nt, T, K)/(nt, T, d) —
+    so the per-tile contractions lower to clean batched matmuls without
+    layout transposes of the big arrays.
+    """
     f32 = jnp.float32
-    K = cfg.K
-    R_p = _pad1(R_eff)
-    Z_p = _pad1(Zf)
+    Rt_p = jnp.concatenate(
+        [R_eff.T, jnp.zeros((1, cfg.K), f32)], axis=0
+    )  # (N+1, K)
+    Zt_p = jnp.concatenate(
+        [Zf.T, jnp.zeros((1, cfg.d), f32)], axis=0
+    )  # (N+1, d)
     O_parts, S_parts, R_s_all = [], [], []
     for c, seg in enumerate(segments):
         Bc = cfg.B_vec[c]
-        R_s = R_p[:, seg.tile_cells]  # (K, nt, T)
-        Z_s = Z_p[:, seg.tile_cells]  # (d, nt, T)
+        R_s = Rt_p[seg.tile_cells]  # (nt, T, K)
+        Z_s = Zt_p[seg.tile_cells]  # (nt, T, d)
         R_s_all.append(R_s)
-        rs_t = jnp.sum(R_s, axis=2)  # (K, nt)
+        rs_t = jnp.sum(R_s, axis=1)  # (nt, K)
         O_c = jax.ops.segment_sum(
-            rs_t.T, seg.tile_batch, num_segments=Bc
+            rs_t, seg.tile_batch, num_segments=Bc
         ).T  # (K, B_c)
         S_t = jnp.einsum(
-            "knt,dnt->nkd", R_s, Z_s, preferred_element_type=f32
+            "ntk,ntd->nkd", R_s, Z_s, preferred_element_type=f32
         )  # (nt, K, d)
         S_c = jax.ops.segment_sum(S_t, seg.tile_batch, num_segments=Bc)
         O_parts.append(O_c)
@@ -269,17 +277,15 @@ def _moments_segmented(cfg, R_eff, Zf, codes, segments):
     codes_p = _pad1(codes)
     for c1 in range(cfg.n_covariates):
         seg = segments[c1]
-        for c2 in range(cfg.n_covariates):
-            if c2 == c1 or (c2, c1) in cross_blocks or (c1, c2) in cross_blocks:
-                continue
+        for c2 in range(c1 + 1, cfg.n_covariates):
             b1, b2 = cfg.B_vec[c1], cfg.B_vec[c2]
             c2_s = codes_p[c2][seg.tile_cells]  # (nt, T)
             oh2 = jax.nn.one_hot(c2_s, b2, dtype=f32)  # (nt, T, B2)
             X_t = jnp.einsum(
-                "knt,ntb->nkb", R_s_all[c1], oh2, preferred_element_type=f32
+                "ntk,ntb->nkb", R_s_all[c1], oh2, preferred_element_type=f32
             )
             X = jax.ops.segment_sum(X_t, seg.tile_batch, num_segments=b1)
-            cross_blocks[(min(c1, c2), max(c1, c2))] = jnp.swapaxes(X, 0, 1)
+            cross_blocks[(c1, c2)] = jnp.swapaxes(X, 0, 1)
     return O_eff, rhs_batches, cross_blocks, R_s_all
 
 
@@ -291,17 +297,17 @@ def _correction_segmented(cfg, W, R_s_all, segments):
         o = cfg.covariate_offsets[c]
         Bc = cfg.B_vec[c]
         Wc = W[:, 1 + o : 1 + o + Bc, :]  # (K, B_c, d)
-        W_t = jnp.take(Wc, seg.tile_batch, axis=1)  # (K, nt, d)
+        W_t = jnp.take(Wc, seg.tile_batch, axis=1).swapaxes(0, 1)  # (nt, K, d)
         corr_t = jnp.einsum(
-            "knd,knt->dnt", W_t, R_s_all[c], preferred_element_type=f32
-        )  # (d, nt, T)
+            "ntk,nkd->ntd", R_s_all[c], W_t, preferred_element_type=f32
+        )  # (nt, T, d)
         nt, T = seg.tile_cells.shape
         corr_flat = jnp.concatenate(
-            [corr_t.reshape(d, nt * T), jnp.zeros((d, 1), f32)], axis=1
+            [corr_t.reshape(nt * T, d), jnp.zeros((1, d), f32)], axis=0
         )
-        t = corr_flat[:, seg.pos[:-1]]
+        t = corr_flat[seg.pos[:-1]]  # (N, d)
         corr = t if corr is None else corr + t
-    return corr
+    return corr.T  # (d, N)
 
 
 def _solve_ridge(cfg: HarmonyConfig, G: jnp.ndarray, rhs: jnp.ndarray):
