@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -136,4 +137,50 @@ def load_checkpoint(
         kw["R"] = R
 
     state = HarmonyState(**kw)
+    return cfg, state
+
+
+# ---- orbax (sharded / multi-host) variant ---------------------------------
+
+
+def save_checkpoint_orbax(path: str, cfg: HarmonyConfig, state: HarmonyState):
+    """Sharded checkpoint via orbax: preserves device shardings, works
+    multi-host (each host writes its shards). Use for mesh runs; the npz
+    format above is the portable single-host path."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            path,
+            {
+                "state": {
+                    f: getattr(state, f)
+                    for f in state.__dataclass_fields__
+                },
+                # orbax trees hold arrays only; config rides as JSON bytes
+                "config": np.frombuffer(
+                    json.dumps(dataclasses.asdict(cfg)).encode(), dtype=np.uint8
+                ).copy(),
+            },
+            force=True,
+        )
+
+
+def load_checkpoint_orbax(path: str):
+    """Returns (cfg, state) from an orbax checkpoint (replicated layout;
+    re-shard with harmony_tpu.sharding.shard_state for mesh runs)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(path)
+    cfg_dict = json.loads(bytes(np.asarray(tree["config"])).decode())
+    cfg_dict["B_vec"] = tuple(cfg_dict["B_vec"])
+    cfg = HarmonyConfig(**cfg_dict)
+    import jax.numpy as jnp
+
+    state = HarmonyState(
+        **{k: jnp.asarray(v) for k, v in tree["state"].items()}
+    )
     return cfg, state

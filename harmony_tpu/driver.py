@@ -27,6 +27,8 @@ def harmonize(
     verbose: bool = False,
     perms: Optional[np.ndarray] = None,
     abort=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 1,
 ) -> HarmonyState:
     """Run up to ``max_iter`` rounds of (cluster, correct), with early stop.
 
@@ -35,6 +37,12 @@ def harmonize(
     ``abort`` is an optional :class:`harmony_tpu.runtime.AbortFlag`, polled
     between rounds (the RcppProgress check_abort analog,
     src/harmony.cpp:233-234 — device steps are not interruptible).
+
+    ``checkpoint_path`` enables crash recovery: a minimal checkpoint
+    (see :mod:`harmony_tpu.checkpoint`) is written every
+    ``checkpoint_every`` completed rounds; resume with
+    ``load_checkpoint(path, Z, design)`` + ``harmonize`` (the algorithm is
+    restart-friendly — correction recomputes from Z_orig, SURVEY.md §5).
     """
     cfg = engine.cfg
     if max_iter is None:
@@ -52,6 +60,10 @@ def harmonize(
             state = engine.cluster(state)
         state = engine.correct(state)
         converged = bool(engine.harmony_converged(state))
+        if checkpoint_path and (it + 1) % checkpoint_every == 0:
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_path, cfg, state, mode="minimal")
         if verbose:
             obj = float(state.objective_harmony[int(state.n_harmony) - 1])
             logger.info(

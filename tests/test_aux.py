@@ -80,6 +80,39 @@ class TestCheckpoint:
             atol=5e-5,
         )
 
+    def test_orbax_roundtrip(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        from harmony_tpu.checkpoint import (
+            load_checkpoint_orbax,
+            save_checkpoint_orbax,
+        )
+
+        _, _, obj = _result()
+        p = str(tmp_path / "orbax_ckpt")
+        save_checkpoint_orbax(p, obj.config, obj.state)
+        cfg, state = load_checkpoint_orbax(p)
+        assert cfg == obj.config
+        np.testing.assert_array_equal(
+            np.asarray(state.Z_corr), np.asarray(obj.state.Z_corr)
+        )
+        engine = make_engine(cfg)
+        state2 = harmonize(engine, state, max_iter=1)
+        assert np.all(np.isfinite(np.asarray(state2.Z_corr)))
+
+    def test_driver_periodic_checkpoint(self, tmp_path):
+        Z, meta, obj = _result(max_iter=1)
+        from harmony_tpu.preprocess import build_design, orient_embedding
+
+        p = str(tmp_path / "auto.npz")
+        engine = make_engine(obj.config)
+        harmonize(engine, obj.state, max_iter=2, checkpoint_path=p)
+        design = build_design(meta, ["dataset"])
+        Zt = orient_embedding(Z, design.n_cells)
+        from harmony_tpu.checkpoint import load_checkpoint
+
+        cfg, state = load_checkpoint(p, Z=Zt, design=design)
+        assert int(state.n_rounds) >= 2
+
     def test_minimal_requires_inputs(self, tmp_path):
         _, _, obj = _result()
         p = str(tmp_path / "m.npz")
