@@ -93,11 +93,11 @@ def block_update_round(
         ).astype(dtype)
 
     # ---- batched old-block statistics (cells are partitioned, so block
-    # i's old R is untouched by earlier block updates) ---------------------
-    R_old = R_blk * mf[None]  # (K, nb, S)
-    rsum_old = jnp.einsum("kbs->bk", R_old)  # (nb, K)
+    # i's old R is untouched by earlier block updates). Masked slots need
+    # no zeroing: they gathered the appended zero column.
+    rsum_old = jnp.einsum("kbs->bk", R_blk)  # (nb, K)
     O_old = jnp.einsum(
-        "kbs,bsc->bkc", R_old, oh, preferred_element_type=f32
+        "kbs,bsc->bkc", R_blk, oh, preferred_element_type=f32
     ).astype(dtype)  # (nb, K, B)
 
     theta_row = theta[None, :]
@@ -226,7 +226,9 @@ def rotate_update_round(
             (c_lay[c][:, None] + off == b_ids) & (m_lay[:, None] > 0)
         ).astype(dtype)
 
-    R_old = (R_lay * m_lay[None, :]).reshape(K, nb, S)
+    # No mask-multiply needed for the old stats: appended pad slots are
+    # zeros and shard-pad cells carry R == 0 by invariant.
+    R_old = R_lay.reshape(K, nb, S)
     rsum_old = jnp.einsum("kbs->bk", R_old)
     O_old = jnp.einsum(
         "kbs,bsc->bkc", R_old, oh.reshape(nb, S, cfg.B),

@@ -171,7 +171,8 @@ def pallas_block_update_round(
             (c_lay[c][:, None] + off == b_ids) & (mf[0][:, None] > 0)
         ).astype(f32)
 
-    R_old = (R_lay * mf).reshape(K, nb, S_pad)
+    # masked slots gathered the appended zero column; no re-masking needed
+    R_old = R_lay.reshape(K, nb, S_pad)
     rsum_old = jnp.einsum("kbs->bk", R_old)  # (nb, K)
     O_old = jnp.einsum(
         "kbs,bsc->bkc", R_old, oh.reshape(nb, S_pad, B),
