@@ -38,6 +38,7 @@ def main() -> int:
         # zero-gather rounds); set HARMONY_BENCH_SHUFFLE=permute for the
         # reference-exact schedule.
         shuffle_mode=os.environ.get("HARMONY_BENCH_SHUFFLE", "rotate"),
+        dtype=os.environ.get("HARMONY_BENCH_DTYPE"),
     )
     print(json.dumps(result))
     return 0

@@ -49,6 +49,7 @@ def run_bench(
     mstep_mode: Optional[str] = None,
     mesh: Optional[str] = None,
     shuffle_mode: Optional[str] = None,
+    dtype: Optional[str] = None,
 ) -> dict:
     """Time harmonize rounds; returns the bench.py JSON-line payload.
 
@@ -93,6 +94,10 @@ def run_bench(
         # synthetic cells are already in random order; no ingest shuffle
         # is needed for the benchmark
         overrides["shuffle_mode"] = shuffle_mode
+    if dtype:
+        overrides["dtype"] = dtype
+        if dtype == "bfloat16":
+            overrides["matmul_precision"] = "bfloat16"
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
     the_mesh = None
@@ -157,6 +162,7 @@ def run_bench(
         "estep_impl": cfg.estep_impl,
         "mstep": "segment" if cfg.use_segments else "dense",
         "shuffle_mode": cfg.shuffle_mode,
+        "dtype": cfg.dtype,
     }
     if baseline_cells_per_sec:
         result["vs_baseline"] = round(
