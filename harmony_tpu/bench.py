@@ -145,7 +145,8 @@ def run_bench(
 
     per_iter = elapsed / max_iter
     cells_per_sec = n_cells / per_iter
-    n_devices = jax.device_count()
+    # without a mesh the computation runs on the single default device
+    n_devices = the_mesh.size if the_mesh is not None else 1
 
     result = {
         "metric": "cells_per_sec_per_chip_per_harmony_iter",

@@ -1,0 +1,74 @@
+"""Multi-device scaling-efficiency measurement (BASELINE.md metric).
+
+Runs the benchmark at 1 device and at N devices (same per-run total cells,
+cells sharded over the mesh) and reports throughput + scaling efficiency.
+On a single-chip host this degenerates to the 1-device number; on a pod
+slice (run once per host under ``jax.distributed``, see
+``harmony_tpu.sharding.initialize_distributed``) it measures the real
+multi-chip scaling of the psum-coupled engine.
+
+Usage: python tools/scaling_bench.py [--cells 2000000] [--devices 1 8]
+"""
+
+import argparse
+import json
+
+from harmony_tpu.bench import run_bench
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cells", type=int, default=2_000_000)
+    ap.add_argument("--dims", type=int, default=50)
+    ap.add_argument("--batches", type=int, default=10)
+    ap.add_argument("--nclust", type=int, default=100)
+    ap.add_argument(
+        "--devices", type=int, nargs="*", default=None,
+        help="device counts to test (default: 1 and all)",
+    )
+    args = ap.parse_args()
+
+    import jax
+
+    counts = args.devices
+    if not counts:
+        counts = sorted({1, jax.device_count()})
+
+    results = {}
+    for n in counts:
+        if n == 1:
+            r = run_bench(
+                n_cells=args.cells, d=args.dims, n_batches=args.batches,
+                nclust=args.nclust, max_iter=2, shuffle_mode="rotate",
+            )
+        else:
+            r = run_bench(
+                n_cells=args.cells, d=args.dims, n_batches=args.batches,
+                nclust=args.nclust, max_iter=2, mesh="auto",
+                shuffle_mode="rotate",
+            )
+        total = r["value"] * r["n_devices"]
+        results[n] = {
+            "devices": r["n_devices"],
+            "cells_per_sec_total": total,
+            "seconds_per_iter": r["seconds_per_iter"],
+        }
+        print(json.dumps({"devices": r["n_devices"], **results[n]}))
+
+    if len(results) > 1:
+        base = results[min(results)]
+        top = results[max(results)]
+        eff = (
+            top["cells_per_sec_total"]
+            / (base["cells_per_sec_total"] * top["devices"] / base["devices"])
+        )
+        print(json.dumps({
+            "metric": "multi_device_scaling_efficiency",
+            "value": round(eff, 4),
+            "from_devices": base["devices"],
+            "to_devices": top["devices"],
+        }))
+
+
+if __name__ == "__main__":
+    main()
