@@ -36,7 +36,12 @@ from .state import HarmonyState, init_state
 @dataclasses.dataclass
 class HarmonyResult:
     """Result object mirroring the reference engine's exposed fields
-    (RCPP_MODULE, src/harmony.cpp:672-709)."""
+    (RCPP_MODULE, src/harmony.cpp:672-709).
+
+    Cell-indexed array properties (Z_corr, Z_orig, R, embeddings) are
+    returned in the user's input cell order; under
+    ``shuffle_mode='rotate'`` the underlying ``state``/``design`` are held
+    in ingest-shuffled order (``ingest_inv`` maps back)."""
 
     config: HarmonyConfig
     state: HarmonyState

@@ -14,6 +14,12 @@ Formats:
   Resume requires the original embedding/design to be re-supplied.
 * ``mode='full'``: every array in the state; standalone resume.
 
+Rotate-shuffle runs (``shuffle_mode='rotate'``) hold state in
+ingest-shuffled cell order: full checkpoints resume transparently, but
+minimal resumes must re-supply Z/design in the same order — re-apply
+``np.random.default_rng(seed).permutation(N)`` (the ingest shuffle is
+deterministic in the run seed).
+
 Storage is a single ``.npz`` plus a JSON config header — portable and
 dependency-free. (For multi-host sharded runs, pair with
 ``jax.experimental.multihost_utils`` gather or orbax; single-file npz is
