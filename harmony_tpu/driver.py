@@ -20,6 +20,16 @@ from .state import HarmonyState
 logger = logging.getLogger("harmony_tpu")
 
 
+def _ensure_verbose_handler():
+    """Make verbose output visible without user logging config (the
+    reference's message() prints, R/utils.R:21-23)."""
+    if not logger.handlers and not logging.getLogger().handlers:
+        h = logging.StreamHandler()
+        h.setFormatter(logging.Formatter("%(message)s"))
+        logger.addHandler(h)
+        logger.setLevel(logging.INFO)
+
+
 def harmonize(
     engine: Engine,
     state: HarmonyState,
@@ -49,6 +59,8 @@ def harmonize(
         max_iter = cfg.max_iter_harmony
     if max_iter < 1:
         return state
+    if verbose:
+        _ensure_verbose_handler()
 
     for it in range(max_iter):
         if abort is not None and abort.aborted():
