@@ -220,6 +220,21 @@ def rotate_update_round(
     m_lay = lay(valid[None, :])[0]  # (L,)
 
     b_ids = jnp.arange(cfg.B, dtype=jnp.int32)
+    oh = jnp.zeros((L, cfg.B), dtype=dtype)
+    for c, off in enumerate(offsets):
+        oh = oh + (
+            (c_lay[c][:, None] + off == b_ids) & (m_lay[:, None] > 0)
+        ).astype(dtype)
+
+    # No mask-multiply needed for the old stats: appended pad slots are
+    # zeros and shard-pad cells carry R == 0 by invariant.
+    R_old = R_lay.reshape(K, nb, S)
+    rsum_old = jnp.einsum("kbs->bk", R_old)
+    O_old = jnp.einsum(
+        "kbs,bsc->bkc", R_old, oh.reshape(nb, S, cfg.B),
+        preferred_element_type=f32,
+    ).astype(dtype)
+
     theta_row = theta[None, :]
     sigma_col = sigma[:, None]
     sigma_f32 = sigma.astype(f32)[:, None]
@@ -228,22 +243,13 @@ def rotate_update_round(
         E, O, acc_d, acc_e, R_new = carry
         b = block_order[i]
         start = b * S
-        R_b = jax.lax.dynamic_slice_in_dim(R_lay, start, S, axis=1)
         Z_b = jax.lax.dynamic_slice_in_dim(Z_lay, start, S, axis=1)
+        oh_b = jax.lax.dynamic_slice_in_dim(oh, start, S, axis=0)
         m_b = jax.lax.dynamic_slice_in_dim(m_lay, start, S, axis=0)
         cb = jax.lax.dynamic_slice_in_dim(c_lay, start, S, axis=1)
 
-        # per-block one-hot (transient; avoids an (L, B) buffer at large B)
-        oh_b = jnp.zeros((S, cfg.B), dtype=dtype)
-        for c, off in enumerate(offsets):
-            oh_b = oh_b + (
-                (cb[c][:, None] + off == b_ids) & (m_b[:, None] > 0)
-            ).astype(dtype)
-
-        # Step 1: remove the block's old contribution (src/harmony.cpp:312-313).
-        # Pad slots hold R == 0, so no masking is needed.
-        E = E - jnp.sum(R_b, axis=1, keepdims=True) * Pr_b[None, :]
-        O = O - jnp.dot(R_b, oh_b, preferred_element_type=f32).astype(dtype)
+        E = E - rsum_old[b][:, None] * Pr_b[None, :]
+        O = O - O_old[b]
 
         g = jnp.dot(Y.T, Z_b, preferred_element_type=f32)
         d_b = (2.0 * (1.0 - g)).astype(dtype)
