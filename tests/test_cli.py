@@ -1,0 +1,60 @@
+"""CLI entry tests (in-process so the CPU-forced test env applies)."""
+
+import csv
+import json
+
+import numpy as np
+import pytest
+
+from harmony_tpu.cli import main
+
+from conftest import make_synthetic
+
+
+@pytest.fixture()
+def io_files(tmp_path):
+    Z, meta = make_synthetic(None, n_cells=120, d=6, seed=0)
+    emb = tmp_path / "emb.npy"
+    np.save(emb, Z)
+    meta_csv = tmp_path / "meta.csv"
+    with open(meta_csv, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["dataset"])
+        for v in meta["dataset"]:
+            w.writerow([v])
+    return str(emb), str(meta_csv), str(tmp_path / "out.npy")
+
+
+def test_cli_run(io_files, capsys):
+    emb, meta, out = io_files
+    rc = main([
+        "run", "--embeddings", emb, "--meta", meta, "--vars", "dataset",
+        "--out", out, "--nclust", "4", "--max-iter", "1",
+    ])
+    assert rc == 0
+    arr = np.load(out)
+    assert arr.shape == (120, 6)
+    assert np.all(np.isfinite(arr))
+
+
+def test_cli_run_rotate(io_files):
+    emb, meta, out = io_files
+    rc = main([
+        "run", "--embeddings", emb, "--meta", meta, "--vars", "dataset",
+        "--out", out, "--nclust", "4", "--max-iter", "1",
+        "--shuffle-mode", "rotate",
+    ])
+    assert rc == 0
+    assert np.load(out).shape == (120, 6)
+
+
+def test_cli_bench_json_line(capsys):
+    rc = main([
+        "bench", "--cells", "3000", "--dims", "6", "--batches", "2",
+        "--nclust", "4", "--max-iter", "1",
+    ])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = json.loads(line)
+    assert payload["metric"] == "cells_per_sec_per_chip_per_harmony_iter"
+    assert payload["value"] > 0
