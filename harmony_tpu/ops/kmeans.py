@@ -64,20 +64,27 @@ def _seed_centroids(
 def _lloyd_round(
     X: jnp.ndarray, Y: jnp.ndarray, n_valid: int
 ) -> jnp.ndarray:
-    """One Euclidean Lloyd iteration; empty clusters keep old centroids."""
+    """One Euclidean Lloyd iteration; empty clusters keep old centroids.
+
+    Cluster means via segment-sum keyed by the assignment (an (N, K)
+    one-hot would cost N*K floats — 2 GB at 5M cells, K=100).
+    """
+    K = Y.shape[1]
     # argmin_k ||x - y_k||^2 = argmin_k (||y_k||^2 - 2 y_k^T x)
     g = jnp.dot(Y.T, X, preferred_element_type=jnp.float32)  # (K, N)
     sq = jnp.sum(
         Y.astype(jnp.float32) ** 2, axis=0
     )  # (K,)
     assign = jnp.argmin(sq[:, None] - 2.0 * g, axis=0)  # (N,)
-    onehot = jax.nn.one_hot(assign, Y.shape[1], dtype=jnp.float32)  # (N, K)
     if n_valid != X.shape[1]:
-        onehot = onehot * (jnp.arange(X.shape[1]) < n_valid)[:, None]
-    counts = jnp.sum(onehot, axis=0)  # (K,)
-    sums = jnp.dot(
-        X.astype(jnp.float32), onehot, preferred_element_type=jnp.float32
-    )  # (d, K)
+        # padding cells go to a drop bucket
+        assign = jnp.where(jnp.arange(X.shape[1]) < n_valid, assign, K)
+    sums = jax.ops.segment_sum(
+        X.astype(jnp.float32).T, assign, num_segments=K + 1
+    )[:K].T  # (d, K)
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(assign, dtype=jnp.float32), assign, num_segments=K + 1
+    )[:K]
     Y_new = sums / jnp.maximum(counts, 1.0)[None, :]
     return jnp.where(counts[None, :] > 0, Y_new, Y.astype(jnp.float32)).astype(
         X.dtype
