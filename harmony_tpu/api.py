@@ -193,6 +193,7 @@ def run_harmony(
     nclust: Optional[int] = None,
     max_iter: int = 10,
     early_stop: bool = True,
+    plot_convergence: bool = False,
     return_object: bool = False,
     verbose: bool = False,
     seed: int = 0,
@@ -308,6 +309,14 @@ def run_harmony(
     result = HarmonyResult(
         config=cfg, state=state, design=design, ingest_inv=ingest_inv
     )
+    if plot_convergence:
+        # the reference's plot_convergence hook (R/ui.R:285)
+        from .plot import convergence_plot
+
+        import matplotlib.pyplot as plt
+
+        convergence_plot(result)
+        plt.show()
     if return_object:
         return result
     return result.embeddings
