@@ -163,13 +163,21 @@ def cluster(
     else:
         update_round = ops.block_update_round
 
+    # Z_corr and codes are fixed across the phase's rounds: build the
+    # rotate schedule's mirror-padded layout once, outside the round loop.
+    rotate_layout = (
+        ops.make_rotate_layout(cfg, state.Z_corr, state.codes)
+        if use_rotate
+        else None
+    )
+
     def body(carry):
         state, it, _ = carry
         if use_rotate:
             res = ops.rotate_update_round(
                 cfg, state.Z_corr, state.Y, state.R, state.E, state.O,
                 state.codes, state.Pr_b, state.sigma, state.theta,
-                round_keys[it],
+                round_keys[it], layout=rotate_layout,
             )
         else:
             res = update_round(

@@ -15,6 +15,7 @@ from .assign import (  # noqa: F401
 )
 from .estep import (  # noqa: F401
     block_update_round,
+    make_rotate_layout,
     objective_from_stats,
     rotate_update_round,
 )

@@ -167,6 +167,43 @@ def block_update_round(
     return RoundResult(R=R_out, E=E, O=O, kmeans_error=acc_d, entropy=acc_e)
 
 
+class RotateLayout(NamedTuple):
+    """Per-cluster-phase constants for the rotate schedule (built once; Z and
+    codes are fixed across a phase's rounds, only R/E/O change)."""
+
+    Z_pad: jnp.ndarray  # (d, Np+S) Z with its first S columns mirrored
+    oh_pad: jnp.ndarray  # (Np+S, B) one-hot design, mirrored, pad rows zero
+    codes_pad: jnp.ndarray  # (ncov, Np+S)
+    valid_pad: jnp.ndarray  # (Np+S,) 1.0 for real cells
+
+
+def make_rotate_layout(
+    cfg: HarmonyConfig, Z: jnp.ndarray, codes: jnp.ndarray
+) -> RotateLayout:
+    """Build the mirror-padded phase constants for :func:`rotate_update_round`.
+
+    The mirror pad (first S columns appended) makes every circular block
+    slice ``[(r + b·S) mod Np, +S)`` a single contiguous ``dynamic_slice``.
+    """
+    dtype = Z.dtype
+    Np = cfg.Np
+    S = -(-Np // cfg.n_blocks)
+    mirror = lambda X: jnp.concatenate([X, X[..., :S]], axis=-1)
+    valid = (jnp.arange(Np) < cfg.N).astype(dtype)
+    codes_pad = mirror(codes)
+    valid_pad = mirror(valid)
+    b_ids = jnp.arange(cfg.B, dtype=jnp.int32)
+    oh = jnp.zeros((Np + S, cfg.B), dtype=dtype)
+    for c, off in enumerate(cfg.covariate_offsets):
+        oh = oh + (
+            (codes_pad[c][:, None] + off == b_ids)
+            & (valid_pad[:, None] > 0)
+        ).astype(dtype)
+    return RotateLayout(
+        Z_pad=mirror(Z), oh_pad=oh, codes_pad=codes_pad, valid_pad=valid_pad
+    )
+
+
 def rotate_update_round(
     cfg: HarmonyConfig,
     Z: jnp.ndarray,  # (d, Np)
@@ -179,18 +216,22 @@ def rotate_update_round(
     sigma: jnp.ndarray,
     theta: jnp.ndarray,
     key: jax.Array,
+    layout: RotateLayout | None = None,
 ) -> RoundResult:
-    """Zero-gather update round (``shuffle_mode='rotate'``).
+    """Roll-free update round (``shuffle_mode='rotate'``).
 
     Pre-condition: cells were shuffled once at ingest, so any contiguous
     chunk is a random subset. Each round draws a rotation offset r and a
-    random block order; blocks are contiguous S-slices of the rotated
-    layout. Data movement is two rolls of each cell-indexed array —
-    contiguous copies at streaming bandwidth — instead of the permute
-    path's indexed gathers. The update math per block is identical to
-    :func:`block_update_round`; only block *membership* differs from the
-    reference's fresh full permutation, which changes the (stochastic)
-    trajectory but not the algorithm.
+    random block order. Virtual position ``p ∈ [0, nb·S)`` holds cell
+    ``(p + r) mod Np`` when ``p < Np`` and nothing otherwise; block b is
+    positions ``[b·S, (b+1)·S)``. Nothing is physically rotated: blocks are
+    contiguous slices of mirror-padded fixed layouts (see
+    :func:`make_rotate_layout`), so per round the only full-array traffic is
+    one read of R and one write of the new R — the streaming lower bound.
+    The update math per block is identical to :func:`block_update_round`;
+    only block *membership* differs from the reference's fresh full
+    permutation, which changes the (stochastic) trajectory but not the
+    algorithm.
     """
     offsets = cfg.covariate_offsets
     K, Np = R.shape
@@ -199,58 +240,42 @@ def rotate_update_round(
     f32 = jnp.float32
 
     S = -(-Np // nb)
-    L = nb * S
+    if layout is None:
+        layout = make_rotate_layout(cfg, Z, codes)
     k1, k2 = jax.random.split(key)
     r = jax.random.randint(k1, (), 0, Np)
     block_order = jax.random.permutation(k2, nb)
 
-    valid = (jnp.arange(Np) < cfg.N).astype(dtype)
-
-    def lay(X):
-        Xr = jnp.roll(X, -r, axis=-1)
-        if L != Np:
-            Xr = jnp.concatenate(
-                [Xr, jnp.zeros((*X.shape[:-1], L - Np), X.dtype)], axis=-1
-            )
-        return Xr
-
-    R_lay = lay(R)
-    Z_lay = lay(Z)
-    c_lay = lay(codes)
-    m_lay = lay(valid[None, :])[0]  # (L,)
-
-    b_ids = jnp.arange(cfg.B, dtype=jnp.int32)
-    oh = jnp.zeros((L, cfg.B), dtype=dtype)
-    for c, off in enumerate(offsets):
-        oh = oh + (
-            (c_lay[c][:, None] + off == b_ids) & (m_lay[:, None] > 0)
-        ).astype(dtype)
-
-    # No mask-multiply needed for the old stats: appended pad slots are
-    # zeros and shard-pad cells carry R == 0 by invariant.
-    R_old = R_lay.reshape(K, nb, S)
-    rsum_old = jnp.einsum("kbs->bk", R_old)
-    O_old = jnp.einsum(
-        "kbs,bsc->bkc", R_old, oh.reshape(nb, S, cfg.B),
-        preferred_element_type=f32,
-    ).astype(dtype)
+    # Old R values, mirror-padded like the phase constants. Dead slots
+    # (p >= Np) are masked per block; shard-pad cells carry R == 0 by
+    # invariant, so only the position mask is needed for the old stats.
+    R_pad = jnp.concatenate([R, R[:, :S]], axis=1)  # (K, Np+S)
 
     theta_row = theta[None, :]
     sigma_col = sigma[:, None]
     sigma_f32 = sigma.astype(f32)[:, None]
+    pos = jnp.arange(S, dtype=jnp.int32)
 
     def body(i, carry):
         E, O, acc_d, acc_e, R_new = carry
         b = block_order[i]
-        start = b * S
-        Z_b = jax.lax.dynamic_slice_in_dim(Z_lay, start, S, axis=1)
-        oh_b = jax.lax.dynamic_slice_in_dim(oh, start, S, axis=0)
-        m_b = jax.lax.dynamic_slice_in_dim(m_lay, start, S, axis=0)
-        cb = jax.lax.dynamic_slice_in_dim(c_lay, start, S, axis=1)
+        start = (b * S + r) % Np  # in [0, Np); slice fits in Np+S
+        live = ((b * S + pos) < Np).astype(dtype)  # kills p >= Np slots
+        Z_b = jax.lax.dynamic_slice_in_dim(layout.Z_pad, start, S, axis=1)
+        oh_b = jax.lax.dynamic_slice_in_dim(layout.oh_pad, start, S, axis=0)
+        v_b = jax.lax.dynamic_slice_in_dim(layout.valid_pad, start, S, axis=0)
+        cb = jax.lax.dynamic_slice_in_dim(layout.codes_pad, start, S, axis=1)
+        m_b = live * v_b
 
-        E = E - rsum_old[b][:, None] * Pr_b[None, :]
-        O = O - O_old[b]
+        # Step 1: remove the block's old contributions (src/harmony.cpp:312-313)
+        R_b_old = (
+            jax.lax.dynamic_slice_in_dim(R_pad, start, S, axis=1)
+            * live[None, :]
+        )
+        E = E - jnp.sum(R_b_old, axis=1, keepdims=True) * Pr_b[None, :]
+        O = O - jnp.dot(R_b_old, oh_b, preferred_element_type=f32).astype(dtype)
 
+        # Step 2: recompute the block's assignments (src/harmony.cpp:318-323)
         g = jnp.dot(Y.T, Z_b, preferred_element_type=f32)
         d_b = (2.0 * (1.0 - g)).astype(dtype)
         R_n = jnp.exp(-d_b / sigma_col)
@@ -262,6 +287,7 @@ def rotate_update_round(
             pc = t if pc is None else pc + t
         R_n = l1_normalize_columns(R_n * pc) * m_b[None, :]
 
+        # Step 3: add the block back + objective accumulators
         rs = jnp.sum(R_n, axis=1, keepdims=True)
         E = E + rs * Pr_b[None, :]
         O = O + jnp.dot(R_n, oh_b, preferred_element_type=f32).astype(dtype)
@@ -270,15 +296,21 @@ def rotate_update_round(
         acc_e = acc_e + jnp.sum(
             sigma_f32 * jnp.where(Rf > 0, Rf * jnp.log(Rf), 0.0)
         )
-        R_new = jax.lax.dynamic_update_slice_in_dim(R_new, R_n, start, axis=1)
+        # Merged write: the (single) partial block's dead tail must not
+        # clobber already-written neighbours in the circular buffer.
+        cur = jax.lax.dynamic_slice_in_dim(R_new, start, S, axis=1)
+        R_w = jnp.where(live[None, :] > 0, R_n, cur)
+        R_new = jax.lax.dynamic_update_slice_in_dim(R_new, R_w, start, axis=1)
         return (E, O, acc_d, acc_e, R_new)
 
     E, O, acc_d, acc_e, R_new = jax.lax.fori_loop(
         0, nb, body,
         (E, O, jnp.zeros((), f32), jnp.zeros((), f32),
-         jnp.zeros((K, L), dtype)),
+         jnp.zeros((K, Np + S), dtype)),
     )
-    R_out = jnp.roll(R_new[:, :Np], r, axis=1)
+    # Fold the mirror region back: each cell was written exactly once, at
+    # its main position or (for a slice crossing Np) its mirror, so add.
+    R_out = R_new[:, :Np].at[:, :S].add(R_new[:, Np:])
     return RoundResult(R=R_out, E=E, O=O, kmeans_error=acc_d, entropy=acc_e)
 
 
