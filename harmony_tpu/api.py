@@ -199,7 +199,7 @@ def run_harmony(
     seed: int = 0,
     options: Optional[HarmonyOptions] = None,
     dtype: str = "float32",
-    ridge_solver: str = "cholesky",
+    ridge_solver: str = "auto",
     init_Y: Optional[np.ndarray] = None,
     mesh=None,
     shuffle_mode: str = "permute",

@@ -155,7 +155,7 @@ class HarmonyConfig:
     # Numerics
     dtype: str = "float32"  # compute dtype for the hot path
     matmul_precision: str = "float32"  # 'bfloat16'|'float32'|'highest' for dot ops
-    ridge_solver: str = "cholesky"  # 'cholesky' | 'solve' | 'arrowhead'
+    ridge_solver: str = "auto"  # 'auto' | 'cholesky' | 'solve' | 'arrowhead'
     # M-step moment strategy: 'dense' one-hot contractions, 'segment'
     # batch-pure tile matmuls (ops/segments.py), or 'auto' (segment at
     # large N where the O(K N B d) dense cost dominates).

@@ -117,8 +117,6 @@ def moe_correct_ridge(
     )  # (K, N)
 
     Zf = Z_orig.astype(f32)
-    r_tot = jnp.sum(R_eff, axis=1)  # (K,) = Phi_Rk intercept moment
-    rhs0 = jnp.dot(R_eff, Zf.T, preferred_element_type=f32)  # (K, d)
 
     if segments is None:
         O_eff, rhs_batches, cross_blocks, ctx = _moments_dense(
@@ -128,6 +126,12 @@ def moe_correct_ridge(
         O_eff, rhs_batches, cross_blocks, ctx = _moments_segmented(
             cfg, R_eff, Zf, codes, segments
         )
+    # Intercept moments: every cell carries exactly one covariate-0 level,
+    # so the level-sum of the (pre-mask) covariate-0 blocks is the cell sum
+    # (Phi_Rk's intercept row, src/harmony.cpp:561).
+    b0 = cfg.B_vec[0]
+    r_tot = jnp.sum(O_eff[:, :b0], axis=1)  # (K,)
+    rhs0 = jnp.sum(rhs_batches[:, :b0, :], axis=1)  # (K, d)
     O_eff = O_eff * keepf
     rhs_batches = rhs_batches * keepf[:, :, None]
 
@@ -193,22 +197,30 @@ def moe_correct_ridge(
 
 
 def _moments_dense(cfg, R_eff, Zf, codes):
-    """One-hot contractions: O(K·N·B·d). Small-N path + test reference."""
+    """One-hot contractions: O(K·N·B·d). Small-N path + test reference.
+
+    Z is augmented with a ones row so each covariate's single contraction
+    yields both its RHS block and its O row (the ones component); the
+    intercept moments fall out as the level-sum of covariate 0's blocks —
+    one pass over R per covariate instead of three.
+    """
     f32 = jnp.float32
     K = cfg.K
     onehots = [
         jax.nn.one_hot(codes[c], cfg.B_vec[c], dtype=f32)  # (N, B_c)
         for c in range(cfg.n_covariates)
     ]
-    O_eff = jnp.concatenate(
-        [jnp.dot(R_eff, oh, preferred_element_type=f32) for oh in onehots],
-        axis=1,
-    )
-    rhs_rows = [
-        jnp.einsum("kn,nb,dn->kbd", R_eff, oh, Zf, preferred_element_type=f32)
+    Z_aug = jnp.concatenate(
+        [Zf, jnp.ones((1, Zf.shape[1]), f32)], axis=0
+    )  # (d+1, N)
+    moments = [
+        jnp.einsum(
+            "kn,nb,dn->kbd", R_eff, oh, Z_aug, preferred_element_type=f32
+        )
         for oh in onehots
     ]
-    rhs_batches = jnp.concatenate(rhs_rows, axis=1)
+    O_eff = jnp.concatenate([M[:, :, -1] for M in moments], axis=1)
+    rhs_batches = jnp.concatenate([M[:, :, :-1] for M in moments], axis=1)
     cross_blocks = {}
     for c1 in range(cfg.n_covariates):
         for c2 in range(c1 + 1, cfg.n_covariates):
@@ -313,15 +325,20 @@ def _correction_segmented(cfg, W, R_s_all, segments):
 def _solve_ridge(cfg: HarmonyConfig, G: jnp.ndarray, rhs: jnp.ndarray):
     """Batched solve of G W = rhs. G is symmetric positive definite.
 
-    'cholesky' (default) replaces the reference's general ``arma::inv``
-    (src/harmony.cpp:572-573); 'solve' uses batched LU; 'arrowhead' applies
-    the reference's single-covariate closed form (src/harmony.cpp:574-586),
-    valid only when the design is one covariate (then Phi_cov is an
-    arrowhead matrix).
+    'auto' (default) mirrors the reference's dispatch: the closed-form
+    arrowhead inverse for a single covariate (src/harmony.cpp:574-586 —
+    then Phi_cov is an arrowhead matrix, and the elementwise formula is
+    ~10x cheaper than a batched factorisation of K tiny matrices on TPU),
+    a general solve otherwise (``arma::inv``, src/harmony.cpp:572-573,
+    here batched Cholesky). 'cholesky' / 'solve' (batched LU) /
+    'arrowhead' force a specific method.
     """
-    if cfg.ridge_solver == "solve":
+    solver = cfg.ridge_solver
+    if solver == "auto":
+        solver = "arrowhead" if cfg.n_covariates == 1 else "cholesky"
+    if solver == "solve":
         return jnp.linalg.solve(G, rhs)
-    if cfg.ridge_solver == "arrowhead":
+    if solver == "arrowhead":
         if cfg.n_covariates != 1:
             raise ValueError("arrowhead solver requires a single covariate")
         return _arrowhead_solve(G, rhs)
