@@ -20,6 +20,7 @@ from .config import (
     HarmonyConfig,
     HarmonyOptions,
     check_legacy_args,
+    finalize_engine_config,
     harmony_options,
 )
 from .driver import run as _run
@@ -203,6 +204,7 @@ def run_harmony(
     init_Y: Optional[np.ndarray] = None,
     mesh=None,
     shuffle_mode: str = "permute",
+    estep_impl: str = "auto",
     **legacy,
 ):
     """Run Harmony integration on a cell-embedding matrix.
@@ -285,6 +287,8 @@ def run_harmony(
         from .sharding import pad_for_mesh
 
         cfg = pad_for_mesh(cfg, mesh)
+    cfg = dataclasses.replace(cfg, estep_impl=estep_impl)
+    cfg = finalize_engine_config(cfg, mesh)
 
     hp = expand_hyperparams(
         design, cfg.K, theta, sigma, lamb, options.tau, verbose=verbose

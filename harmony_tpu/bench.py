@@ -85,9 +85,7 @@ def run_bench(
     )
     import dataclasses
 
-    overrides = {}
-    if estep_impl:
-        overrides["estep_impl"] = estep_impl
+    overrides = {"estep_impl": estep_impl or "auto"}
     if mstep_mode:
         overrides["mstep_mode"] = mstep_mode
     if shuffle_mode:
@@ -106,6 +104,9 @@ def run_bench(
 
         the_mesh = make_mesh()
         cfg = pad_for_mesh(cfg, the_mesh)
+    from .config import finalize_engine_config
+
+    cfg = finalize_engine_config(cfg, the_mesh)
 
     hp = expand_hyperparams(design, cfg.K, None, 0.1, 1.0, options.tau)
     key = jax.random.PRNGKey(seed)

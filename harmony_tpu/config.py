@@ -161,8 +161,10 @@ class HarmonyConfig:
     # large N where the O(K N B d) dense cost dominates).
     mstep_mode: str = "auto"
     segment_tile: int = 1024
-    # E-step round implementation: 'xla' (ops/estep.py fori_loop) or
-    # 'pallas' (ops/pallas_estep.py single fused kernel).
+    # E-step round implementation: 'xla' (ops/estep.py fori_loop), 'pallas'
+    # (fused kernels: ops/pallas_rotate.py for the rotate schedule,
+    # ops/pallas_estep.py for the permute layout), or 'auto' (pallas for
+    # single-device rotate runs on TPU — resolved by finalize_engine_config).
     estep_impl: str = "xla"
     estep_sub_tile: int = 2048
     # Cell-shuffle strategy for the block updates. 'permute' reproduces the
@@ -267,3 +269,36 @@ def default_nclust(n_cells: int) -> int:
     R's ``round`` is round-half-to-even, as is Python 3's built-in.
     """
     return min(round(n_cells / 30), 100)
+
+
+def finalize_engine_config(cfg: HarmonyConfig, mesh=None) -> HarmonyConfig:
+    """Resolve 'auto' implementation knobs and align the padded cell axis.
+
+    - ``estep_impl='auto'`` picks the fused Pallas rotate kernel for
+      single-device rotate-schedule runs on TPU (the Pallas kernels use
+      single-device layouts; sharded runs stay on the XLA path, whose
+      contractions lower to per-shard partials + psum).
+    - For the Pallas rotate kernel, ``N_pad`` is rounded up to the cell
+      sub-tile so block slices are tile-aligned (pad cells are provably
+      inert: zero one-hot rows yield zero assignments).
+
+    Call after any manual ``dataclasses.replace`` overrides and before
+    ``init_state`` (the state is allocated at ``cfg.Np``).
+    """
+    import dataclasses as _dc
+
+    import jax as _jax
+
+    if cfg.estep_impl == "auto":
+        use_pallas = (
+            cfg.shuffle_mode == "rotate"
+            and mesh is None
+            and _jax.default_backend() == "tpu"
+        )
+        cfg = _dc.replace(cfg, estep_impl="pallas" if use_pallas else "xla")
+    if cfg.estep_impl == "pallas" and cfg.shuffle_mode == "rotate":
+        T = cfg.estep_sub_tile
+        Npt = -(-cfg.Np // T) * T
+        if Npt != cfg.Np:
+            cfg = _dc.replace(cfg, N_pad=Npt)
+    return cfg

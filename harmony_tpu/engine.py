@@ -164,17 +164,26 @@ def cluster(
         update_round = ops.block_update_round
 
     # Z_corr and codes are fixed across the phase's rounds: build the
-    # rotate schedule's mirror-padded layout once, outside the round loop.
-    rotate_layout = (
-        ops.make_rotate_layout(cfg, state.Z_corr, state.codes)
-        if use_rotate
-        else None
-    )
+    # rotate schedule's padded layout once, outside the round loop.
+    use_pallas_rotate = use_rotate and cfg.estep_impl == "pallas"
+    if use_pallas_rotate:
+        from .ops.pallas_rotate import (
+            make_tile_layout, pallas_rotate_update_round,
+        )
+
+        rotate_layout = make_tile_layout(cfg, state.Z_corr, state.codes)
+        rotate_round = partial(
+            pallas_rotate_update_round,
+            interpret=jax.default_backend() == "cpu",
+        )
+    elif use_rotate:
+        rotate_layout = ops.make_rotate_layout(cfg, state.Z_corr, state.codes)
+        rotate_round = ops.rotate_update_round
 
     def body(carry):
         state, it, _ = carry
         if use_rotate:
-            res = ops.rotate_update_round(
+            res = rotate_round(
                 cfg, state.Z_corr, state.Y, state.R, state.E, state.O,
                 state.codes, state.Pr_b, state.sigma, state.theta,
                 round_keys[it], layout=rotate_layout,

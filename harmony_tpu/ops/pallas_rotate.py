@@ -1,0 +1,333 @@
+"""Pallas TPU kernel for the roll-free rotate-schedule E-step round.
+
+The XLA rotate round (ops/estep.py) round-trips every intermediate —
+distances, pre-normalised assignments, penalty products — through HBM, and
+any batched formulation of the old-block statistics forces a physical
+transpose of the (K, N) assignment matrix. This kernel runs the whole
+sequential round as ONE Pallas program with a two-phase step sequence per
+block (TPU grids execute sequentially, so the running E/O diversity
+statistics live in VMEM scratch across every step):
+
+  phase 0 (stats):  stream the block's old R tiles once, accumulating the
+                    block's old row-sums and O contribution in VMEM;
+  phase 1 (assign): commit the removal (src/harmony.cpp:312-313), compute
+                    the block-constant penalty, then recompute each tile's
+                    assignments entirely in VMEM and write it exactly once.
+
+Per round the HBM traffic is exactly one read of R, Z and the one-hot
+design and one write of R — the streaming lower bound for the sequential
+block semantics.
+
+Schedule (the tile-aligned variant of the rotate schedule): cells were
+shuffled once at ingest; virtual tile v in [0, NT) holds physical tile
+(v + rt) mod NT for a per-round random tile rotation rt, and the nb blocks
+are contiguous runs of virtual tiles processed in a per-round random block
+order. Identical in distribution to the cell-granular rotate schedule up
+to tile quantisation of the rotation offset; like that schedule it is
+statistically equivalent to — not bit-comparable with — the reference's
+fresh full permutation (src/harmony.cpp:272-273). Per-block semantics are
+the reference's exactly: all cells of a block see the E/O state with the
+whole block removed, so the penalty matrix ((2E+1)/(O+E+1))^theta is
+block-constant (src/harmony.cpp:318-323).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import HarmonyConfig
+from .estep import RoundResult
+
+# rows of the per-step scalar table
+_TILE = 0  # logical tile this step computes on (Z/oh fetch; R write in phase 1)
+_RIDX = 1  # R_in fetch index (old tiles in phase 0; pinned in phase 1)
+_WIDX = 2  # R_out buffer index (pinned to the first assign tile in phase 0)
+_BLK = 3  # processed block
+_PHASE = 4  # 0 = stats, 1 = assign
+_FIRST = 5  # first step of the block's phase
+_LAST = 6  # last assign step of the block
+_ROWS = 7
+
+
+class TileLayout(NamedTuple):
+    """Phase constants for the tile-rotate kernel (Z and the design are
+    fixed across a cluster phase's rounds)."""
+
+    Z_pad: jnp.ndarray  # (d, NT*T) zero-padded
+    oh_pad: jnp.ndarray  # (NT*T, B) one-hot design; pad/invalid rows zero
+
+
+def make_tile_layout(
+    cfg: HarmonyConfig, Z: jnp.ndarray, codes: jnp.ndarray
+) -> TileLayout:
+    T = cfg.estep_sub_tile
+    Np = cfg.Np
+    Npt = -(-Np // T) * T
+    f32 = jnp.float32
+    valid = jnp.arange(Np) < cfg.N
+    b_ids = jnp.arange(cfg.B, dtype=jnp.int32)
+    oh = jnp.zeros((Np, cfg.B), dtype=f32)
+    for c, off in enumerate(cfg.covariate_offsets):
+        oh = oh + (
+            (codes[c][:, None] + off == b_ids) & valid[:, None]
+        ).astype(f32)
+    pad = Npt - Np
+    if pad:
+        oh = jnp.concatenate([oh, jnp.zeros((pad, cfg.B), f32)], axis=0)
+        Z = jnp.concatenate(
+            [Z, jnp.zeros((Z.shape[0], pad), Z.dtype)], axis=1
+        )
+    return TileLayout(Z_pad=Z.astype(f32), oh_pad=oh)
+
+
+def _round_kernel(
+    scal_ref,  # (_ROWS, 2*NT) int32 step table
+    # inputs
+    Yt_ref,  # (K, d)
+    Z_ref,  # (d, T) tile at scal[_TILE, s]
+    oh_ref,  # (T, B) tile at scal[_TILE, s]
+    R_in_ref,  # (K, T) tile at scal[_RIDX, s]
+    E_in_ref,  # (K, B)
+    O_in_ref,  # (K, B)
+    Pr_ref,  # (1, B)
+    sigma_ref,  # (K, 1)
+    theta_ref,  # (1, B)
+    # outputs
+    R_out_ref,  # (K, T) tile at scal[_WIDX, s]
+    E_out_ref,  # (K, B)
+    O_out_ref,  # (K, B)
+    acc_ref,  # (1, 2) SMEM
+    # scratch
+    E_s,  # (K, B)
+    O_s,  # (K, B)
+    pen_s,  # (K, B)
+    rold_s,  # (K, 1) block's old row-sums
+    Oold_s,  # (K, B) block's old O contribution
+    rpend_s,  # (K, 1)
+    Opend_s,  # (K, B)
+    accv_s,  # (1, 2) SMEM
+):
+    s = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    phase = scal_ref[_PHASE, s]
+    first = scal_ref[_FIRST, s]
+    last = scal_ref[_LAST, s]
+
+    @pl.when(s == 0)
+    def _():
+        E_s[:] = E_in_ref[:]
+        O_s[:] = O_in_ref[:]
+        accv_s[0, 0] = 0.0
+        accv_s[0, 1] = 0.0
+
+    @pl.when((phase == 0) & (first == 1))
+    def _():
+        rold_s[:] = jnp.zeros_like(rold_s)
+        Oold_s[:] = jnp.zeros_like(Oold_s)
+
+    @pl.when(phase == 0)
+    def _():
+        # accumulate the block's old contribution (one streamed R read)
+        R_t = R_in_ref[:]
+        rold_s[:] = rold_s[:] + jnp.sum(R_t, axis=1, keepdims=True)
+        Oold_s[:] = Oold_s[:] + jnp.dot(
+            R_t, oh_ref[:], preferred_element_type=jnp.float32
+        )
+
+    @pl.when((phase == 1) & (first == 1))
+    def _():
+        # Step 1: remove the block (src/harmony.cpp:312-313) and build the
+        # block-constant diversity penalty (src/harmony.cpp:318-322).
+        E_s[:] = E_s[:] - rold_s[:] * Pr_ref[0, :][None, :]
+        O_s[:] = O_s[:] - Oold_s[:]
+        E, O = E_s[:], O_s[:]
+        pen_s[:] = ((2.0 * E + 1.0) / (O + E + 1.0)) ** theta_ref[0, :][None, :]
+        rpend_s[:] = jnp.zeros_like(rpend_s)
+        Opend_s[:] = jnp.zeros_like(Opend_s)
+
+    @pl.when(phase == 1)
+    def _():
+        # Step 2: this tile's assignments against the block-removed stats
+        # (src/harmony.cpp:318-323). Invalid cells have all-zero one-hot
+        # rows, so their penalty column is zero and the guarded normalise
+        # yields an inert zero column.
+        Z_t = Z_ref[:]  # (d, T)
+        oh_t = oh_ref[:]  # (T, B)
+        g = jnp.dot(Yt_ref[:], Z_t, preferred_element_type=jnp.float32)
+        d_t = 2.0 * (1.0 - g)
+        R_n = jnp.exp(-d_t / sigma_ref[:])
+        R_n = R_n / jnp.sum(R_n, axis=0, keepdims=True)
+        pc = jnp.dot(pen_s[:], oh_t.T, preferred_element_type=jnp.float32)
+        R_n = R_n * pc
+        colsum = jnp.sum(R_n, axis=0, keepdims=True)
+        R_n = R_n / jnp.where(colsum == 0.0, 1.0, colsum)
+
+        # Step 3: pending add-back + objective accumulators
+        rpend_s[:] = rpend_s[:] + jnp.sum(R_n, axis=1, keepdims=True)
+        Opend_s[:] = Opend_s[:] + jnp.dot(
+            R_n, oh_t, preferred_element_type=jnp.float32
+        )
+        xlogx = jnp.where(R_n > 0, R_n * jnp.log(R_n), 0.0)
+        accv_s[0, 0] = accv_s[0, 0] + jnp.sum(R_n * d_t)
+        accv_s[0, 1] = accv_s[0, 1] + jnp.sum(sigma_ref[:] * xlogx)
+
+        R_out_ref[:] = R_n
+
+        @pl.when(last == 1)
+        def _():
+            # commit the block's new contribution (src/harmony.cpp:329-330)
+            E_s[:] = E_s[:] + rpend_s[:] * Pr_ref[0, :][None, :]
+            O_s[:] = O_s[:] + Opend_s[:]
+
+    @pl.when(s == n_steps - 1)
+    def _():
+        E_out_ref[:] = E_s[:]
+        O_out_ref[:] = O_s[:]
+        acc_ref[0, 0] = accv_s[0, 0]
+        acc_ref[0, 1] = accv_s[0, 1]
+
+
+def _schedule(cfg: HarmonyConfig, NT: int, key: jax.Array):
+    """(_ROWS, 2*NT) step table for the two-phase processed-order walk."""
+    nb = min(cfg.n_blocks, NT)
+    base, rem = divmod(NT, nb)
+    szs = base + (jnp.arange(nb, dtype=jnp.int32) < rem).astype(jnp.int32)
+    vstart = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(szs)[:-1]]
+    )
+    k1, k2 = jax.random.split(key)
+    rt = jax.random.randint(k1, (), 0, NT)
+    order = jax.random.permutation(k2, nb).astype(jnp.int32)
+
+    n_steps = 2 * NT
+    sz2 = 2 * szs[order]
+    blk = jnp.repeat(order, sz2, total_repeat_length=n_steps)
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(sz2)[:-1]]
+    )
+    within2 = jnp.arange(n_steps, dtype=jnp.int32) - jnp.repeat(
+        offs, sz2, total_repeat_length=n_steps
+    )
+    sz_b = szs[blk]
+    phase = (within2 >= sz_b).astype(jnp.int32)
+    within = jnp.where(phase == 1, within2 - sz_b, within2)
+    tile = (vstart[blk] + within + rt) % NT
+    blk_first_tile = (vstart[blk] + rt) % NT
+    blk_last_tile = (vstart[blk] + sz_b - 1 + rt) % NT
+    # R_in: stream old tiles in phase 0; pin to the block's last old tile in
+    # phase 1 so no refetch happens. R_out: pin to the block's first assign
+    # tile during phase 0 (the buffer is rewritten before any index change
+    # can flush it).
+    ridx = jnp.where(phase == 0, tile, blk_last_tile)
+    widx = jnp.where(phase == 1, tile, blk_first_tile)
+    first = (within == 0).astype(jnp.int32)
+    last = ((within == sz_b - 1) & (phase == 1)).astype(jnp.int32)
+    return (
+        jnp.stack([tile, ridx, widx, blk, phase, first, last]),
+        n_steps,
+    )
+
+
+def pallas_rotate_update_round(
+    cfg: HarmonyConfig,
+    Z: jnp.ndarray,  # (d, Np)
+    Y: jnp.ndarray,  # (d, K)
+    R: jnp.ndarray,  # (K, Np)
+    E: jnp.ndarray,
+    O: jnp.ndarray,
+    codes: jnp.ndarray,
+    Pr_b: jnp.ndarray,
+    sigma: jnp.ndarray,
+    theta: jnp.ndarray,
+    key: jax.Array,
+    layout: TileLayout | None = None,
+    interpret: bool = False,
+) -> RoundResult:
+    """Drop-in rotate round via the fused kernel (single-device layouts)."""
+    K, Np = R.shape
+    d = Z.shape[0]
+    B = cfg.B
+    T = cfg.estep_sub_tile
+    f32 = jnp.float32
+    NT = -(-Np // T)
+    Npt = NT * T
+
+    if layout is None:
+        layout = make_tile_layout(cfg, Z, codes)
+    scal, n_steps = _schedule(cfg, NT, key)
+
+    R_p = R.astype(f32)
+    if Npt != Np:
+        # avoided in production: align_cells_pad rounds Np up to the tile
+        R_p = jnp.concatenate(
+            [R_p, jnp.zeros((K, Npt - Np), f32)], axis=1
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((K, d), lambda s, sc: (0, 0)),  # Y^T
+            pl.BlockSpec((d, T), lambda s, sc: (0, sc[_TILE, s])),  # Z
+            pl.BlockSpec((T, B), lambda s, sc: (sc[_TILE, s], 0)),  # oh
+            pl.BlockSpec((K, T), lambda s, sc: (0, sc[_RIDX, s])),  # R old
+            pl.BlockSpec((K, B), lambda s, sc: (0, 0)),  # E_in
+            pl.BlockSpec((K, B), lambda s, sc: (0, 0)),  # O_in
+            pl.BlockSpec((1, B), lambda s, sc: (0, 0)),  # Pr_b
+            pl.BlockSpec((K, 1), lambda s, sc: (0, 0)),  # sigma
+            pl.BlockSpec((1, B), lambda s, sc: (0, 0)),  # theta
+        ],
+        out_specs=[
+            pl.BlockSpec((K, T), lambda s, sc: (0, sc[_WIDX, s])),  # R new
+            pl.BlockSpec((K, B), lambda s, sc: (0, 0)),
+            pl.BlockSpec((K, B), lambda s, sc: (0, 0)),
+            pl.BlockSpec(
+                (1, 2), lambda s, sc: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((K, B), f32),  # E_s
+            pltpu.VMEM((K, B), f32),  # O_s
+            pltpu.VMEM((K, B), f32),  # pen_s
+            pltpu.VMEM((K, 1), f32),  # rold
+            pltpu.VMEM((K, B), f32),  # Oold
+            pltpu.VMEM((K, 1), f32),  # rpend
+            pltpu.VMEM((K, B), f32),  # Opend
+            pltpu.SMEM((1, 2), f32),  # accv
+        ],
+    )
+    kernel = pl.pallas_call(
+        _round_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((K, Npt), f32),
+            jax.ShapeDtypeStruct((K, B), f32),
+            jax.ShapeDtypeStruct((K, B), f32),
+            jax.ShapeDtypeStruct((1, 2), f32),
+        ],
+        interpret=interpret,
+    )
+    R_new, E_out, O_out, acc = kernel(
+        scal,
+        Y.T.astype(f32),
+        layout.Z_pad,
+        layout.oh_pad,
+        R_p,
+        E.astype(f32),
+        O.astype(f32),
+        Pr_b.astype(f32)[None, :],
+        sigma.astype(f32)[:, None],
+        theta.astype(f32)[None, :],
+    )
+    return RoundResult(
+        R=(R_new[:, :Np] if Npt != Np else R_new).astype(R.dtype),
+        E=E_out.astype(E.dtype),
+        O=O_out.astype(O.dtype),
+        kmeans_error=acc[0, 0],
+        entropy=acc[0, 1],
+    )

@@ -132,3 +132,129 @@ def test_engine_pallas_impl_end_to_end():
         st = harmonize(eng, st, max_iter=2, perms=perms)
         outs[impl] = np.asarray(st.Z_corr)
     np.testing.assert_allclose(outs["pallas"], outs["xla"], atol=1e-4)
+
+
+class TestPallasRotate:
+    """Fused rotate-round kernel (ops/pallas_rotate.py), interpret mode."""
+
+    def _setup(self, n=700, npad=704, d=12, nclust=8, T=128, seed=1):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from harmony_tpu.config import harmony_options
+        from harmony_tpu.engine import init_cluster
+        from harmony_tpu.preprocess import (
+            build_design, expand_hyperparams, orient_embedding,
+            resolve_config,
+        )
+        from harmony_tpu.state import init_state
+
+        from conftest import make_synthetic
+
+        Z, meta = make_synthetic(None, n_cells=n, d=d, seed=seed)
+        design = build_design(meta, ["dataset", "cell_type"])
+        options = harmony_options()
+        cfg = resolve_config(
+            n_cells=n, d=d, design=design, nclust=nclust, max_iter=2,
+            early_stop=True, options=options, verbose=False,
+        )
+        cfg = dataclasses.replace(
+            cfg, N_pad=npad, shuffle_mode="rotate", estep_impl="pallas",
+            estep_sub_tile=T,
+        )
+        hp = expand_hyperparams(design, cfg.K, None, 0.1, 1.0, options.tau)
+        state = init_state(
+            cfg, orient_embedding(Z, n), design, hp.sigma, hp.theta,
+            hp.lamb, jax.random.PRNGKey(seed),
+        )
+        state = jax.jit(lambda s: init_cluster(cfg, s))(state)
+        return cfg, state
+
+    def test_round_self_consistent(self):
+        """R is a valid (masked) simplex, pads stay inert, and the returned
+        E/O equal a from-scratch recomputation from the returned R — the
+        invariant the sequential online updates must preserve
+        (src/harmony.cpp:309-331)."""
+        import jax
+
+        from harmony_tpu import ops
+        from harmony_tpu.ops.pallas_rotate import pallas_rotate_update_round
+
+        cfg, state = self._setup()
+        key = jax.random.PRNGKey(7)
+        res = jax.jit(
+            lambda s: pallas_rotate_update_round(
+                cfg, s.Z_corr, s.Y, s.R, s.E, s.O, s.codes, s.Pr_b,
+                s.sigma, s.theta, key, interpret=True,
+            )
+        )(state)
+        R = np.asarray(res.R)
+        np.testing.assert_allclose(R[:, : cfg.N].sum(0), 1.0, atol=1e-5)
+        assert np.all(R[:, cfg.N :] == 0.0)
+        E2 = np.asarray(ops.compute_E(res.R, state.Pr_b))
+        O2 = np.asarray(
+            ops.compute_O(res.R, state.codes, cfg.covariate_offsets, cfg.B)
+        )
+        np.testing.assert_allclose(E2, np.asarray(res.E), atol=1e-4)
+        np.testing.assert_allclose(O2, np.asarray(res.O), atol=1e-4)
+        # objective accumulators against a direct recomputation
+        Zc = np.asarray(state.Z_corr, np.float64)
+        Y = np.asarray(state.Y, np.float64)
+        dist = 2.0 * (1.0 - Y.T @ Zc)
+        np.testing.assert_allclose(
+            float(res.kmeans_error), (R * dist).sum(), rtol=1e-5
+        )
+
+    def test_every_cell_updated_once(self):
+        """The circular tile walk is a bijection: every cell's column is
+        freshly written (no stale R survives a round)."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from harmony_tpu.ops.pallas_rotate import pallas_rotate_update_round
+
+        cfg, state = self._setup(n=530, npad=536, T=128)
+        # poison R: a fresh round must replace every valid column
+        state = dataclasses.replace(
+            state, R=jnp.full_like(state.R, 7.0)
+            * (jnp.arange(cfg.Np) < cfg.N)[None, :].astype(state.R.dtype)
+        )
+        res = jax.jit(
+            lambda s: pallas_rotate_update_round(
+                cfg, s.Z_corr, s.Y, s.R, s.E, s.O, s.codes, s.Pr_b,
+                s.sigma, s.theta, jax.random.PRNGKey(3), interpret=True,
+            )
+        )(state)
+        R = np.asarray(res.R)
+        np.testing.assert_allclose(R[:, : cfg.N].sum(0), 1.0, atol=1e-5)
+        assert R.max() <= 1.0 + 1e-5
+
+    def test_engine_end_to_end(self):
+        """estep_impl='pallas' + rotate through run_harmony converges and
+        matches the XLA rotate path statistically."""
+        from harmony_tpu import run_harmony
+
+        from conftest import make_synthetic
+
+        Z, meta = make_synthetic(
+            None, n_cells=600, d=10, n_batches=2, n_types=1,
+            batch_shift=4.0, seed=21,
+        )
+        out = {}
+        for impl in ("xla", "pallas"):
+            o = run_harmony(
+                Z, meta, ["dataset"], nclust=6, max_iter=8, seed=4,
+                shuffle_mode="rotate", estep_impl=impl, return_object=True,
+                early_stop=False,
+            )
+            assert np.all(np.isfinite(o.embeddings))
+            assert (
+                o.objective_harmony[-1]
+                <= o.objective_harmony[0] + 1e-3 * abs(o.objective_harmony[0])
+            )
+            out[impl] = o.objective_harmony[-1]
+        np.testing.assert_allclose(out["pallas"], out["xla"], rtol=0.05)
