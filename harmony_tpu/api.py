@@ -205,6 +205,7 @@ def run_harmony(
     mesh=None,
     shuffle_mode: str = "permute",
     estep_impl: str = "auto",
+    mstep_impl: str = "auto",
     **legacy,
 ):
     """Run Harmony integration on a cell-embedding matrix.
@@ -287,7 +288,9 @@ def run_harmony(
         from .sharding import pad_for_mesh
 
         cfg = pad_for_mesh(cfg, mesh)
-    cfg = dataclasses.replace(cfg, estep_impl=estep_impl)
+    cfg = dataclasses.replace(
+        cfg, estep_impl=estep_impl, mstep_impl=mstep_impl
+    )
     cfg = finalize_engine_config(cfg, mesh)
 
     hp = expand_hyperparams(

@@ -8,6 +8,7 @@ cells/sec/chip per Harmony iteration on large synthetic workloads
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -85,7 +86,10 @@ def run_bench(
     )
     import dataclasses
 
-    overrides = {"estep_impl": estep_impl or "auto"}
+    overrides = {
+        "estep_impl": estep_impl or "auto",
+        "mstep_impl": os.environ.get("HARMONY_BENCH_MSTEP_IMPL", "auto"),
+    }
     if mstep_mode:
         overrides["mstep_mode"] = mstep_mode
     if shuffle_mode:
@@ -162,7 +166,10 @@ def run_bench(
         "n_devices": n_devices,
         "platform": jax.devices()[0].platform,
         "estep_impl": cfg.estep_impl,
-        "mstep": "segment" if cfg.use_segments else "dense",
+        "mstep": (
+            "pallas" if cfg.mstep_impl == "pallas"
+            else ("segment" if cfg.use_segments else "dense")
+        ),
         "shuffle_mode": cfg.shuffle_mode,
         "dtype": cfg.dtype,
     }

@@ -161,6 +161,10 @@ class HarmonyConfig:
     # large N where the O(K N B d) dense cost dominates).
     mstep_mode: str = "auto"
     segment_tile: int = 1024
+    # M-step contraction implementation: 'xla', or 'pallas' (single-pass
+    # fused moment/correction kernels, ops/pallas_ridge.py; single-covariate
+    # TPU runs only — resolved from 'auto' by finalize_engine_config).
+    mstep_impl: str = "xla"
     # E-step round implementation: 'xla' (ops/estep.py fori_loop), 'pallas'
     # (fused kernels: ops/pallas_rotate.py for the rotate schedule,
     # ops/pallas_estep.py for the permute layout), or 'auto' (pallas for
@@ -176,7 +180,22 @@ class HarmonyConfig:
     # different trajectory.
     shuffle_mode: str = "permute"
 
+    # Buffer donation for the phase functions: 'on' | 'off' | 'auto'
+    # (auto = donate only when the big state arrays exceed ~2 GiB, where
+    # in-place reuse matters for HBM headroom; below that, donation's
+    # input/output aliasing costs dispatch-pipeline time for no benefit).
+    donate: str = "auto"
+
     verbose: bool = False
+
+    @property
+    def donate_state(self) -> bool:
+        if self.donate == "on":
+            return True
+        if self.donate == "off":
+            return False
+        state_bytes = (self.K + 2 * self.d) * self.Np * 4
+        return state_bytes > 2 * 1024**3
 
     def __post_init__(self):
         if self.N < 6:
@@ -301,4 +320,9 @@ def finalize_engine_config(cfg: HarmonyConfig, mesh=None) -> HarmonyConfig:
         Npt = -(-cfg.Np // T) * T
         if Npt != cfg.Np:
             cfg = _dc.replace(cfg, N_pad=Npt)
+    if cfg.mstep_impl == "auto":
+        # The fused M-step kernels (ops/pallas_ridge.py) measure at parity
+        # with the XLA dense path on v5e (the per-batch unrolled matmuls pay
+        # Mosaic op latency back); they stay opt-in via mstep_impl='pallas'.
+        cfg = _dc.replace(cfg, mstep_impl="xla")
     return cfg

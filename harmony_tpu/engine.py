@@ -282,13 +282,16 @@ def make_engine(cfg: HarmonyConfig, codes=None) -> Engine:
             cfg, np.asarray(codes), tile=cfg.segment_tile
         )
 
+    # cluster/correct inputs are single-use along the driver chain; donating
+    # lets XLA reuse the K x N / d x N buffers in place (halves peak memory
+    # at large N) — but input/output aliasing measurably serialises the
+    # remote-dispatch pipeline, so donate only when the state is a real
+    # fraction of HBM. Do NOT call donating phases twice on the same state.
+    donate = cfg.donate_state
+
     def jit(fn, donate=False, **extra):
         return jax.jit(
             _with_precision(cfg, partial(fn, cfg, **extra)),
-            # cluster/correct inputs are single-use along the driver chain;
-            # donating lets XLA reuse the K x N / d x N buffers in place
-            # (halves peak memory at large N). Do NOT call these twice on
-            # the same state object.
             donate_argnums=(0,) if donate else (),
         )
 
@@ -296,7 +299,7 @@ def make_engine(cfg: HarmonyConfig, codes=None) -> Engine:
         cfg=cfg,
         init_cluster=jit(init_cluster),
         init_cluster_from=jit(init_cluster_from),
-        cluster=jit(cluster, donate=True),
-        correct=jit(correct, donate=True, segments=segments),
+        cluster=jit(cluster, donate=donate),
+        correct=jit(correct, donate=donate, segments=segments),
         harmony_converged=jit(harmony_converged),
     )

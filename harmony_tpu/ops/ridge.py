@@ -97,43 +97,68 @@ def moe_correct_ridge(
     keep, any_active = compute_masks(cfg, O, batch_sizes)
     keepf = keep.astype(f32)
 
-    # Cell mask: kept iff ANY of the cell's batches is kept (union over
-    # covariates of the kept batches' cell sets, src/harmony.cpp:389-402).
-    # Fast path: when no batch is dropped anywhere (the common case with
-    # the 1e-5 default cutoff) the mask is all-true and the K x N gather +
-    # multiply is skipped at runtime via a real branch.
-    def _masked(R):
-        cell_mask = None
-        for c, off in enumerate(offsets):
-            kc = jnp.take(keep[:, off : off + cfg.B_vec[c]], codes[c], axis=1)
-            cell_mask = kc if cell_mask is None else (cell_mask | kc)
-        return R.astype(f32) * cell_mask.astype(f32)
-
-    R_eff = jax.lax.cond(
-        jnp.all(keep),
-        lambda R: R.astype(f32),
-        _masked,
-        R,
-    )  # (K, N)
+    use_pallas = (
+        cfg.mstep_impl == "pallas"
+        and cfg.n_covariates == 1
+        and segments is None
+    )
 
     Zf = Z_orig.astype(f32)
 
-    if segments is None:
-        O_eff, rhs_batches, cross_blocks, ctx = _moments_dense(
-            cfg, R_eff, Zf, codes
-        )
+    if use_pallas:
+        # Single covariate: the cell mask is redundant — a cell is dropped
+        # iff its (only) batch is, so keep-masking the per-batch moments
+        # below IS the cell mask, and dropped batches' beta rows come out
+        # exactly zero so no cell receives a correction from them.
+        from .pallas_ridge import pallas_correction, pallas_moments
+
+        interp = jax.default_backend() == "cpu"
+        oh_full = jax.nn.one_hot(codes[0], B, dtype=f32)  # (Np, B)
+        M = pallas_moments(cfg, R, Zf, oh_full, interpret=interp)
+        O_eff = M[:, :, -1] * keepf
+        rhs_batches = M[:, :, :-1] * keepf[:, :, None]
+        # post-mask intercept moments == pre-mask moments of cell-masked R
+        r_tot = jnp.sum(O_eff, axis=1)
+        rhs0 = jnp.sum(rhs_batches, axis=1)
+        cross_blocks, ctx, R_eff = {}, None, None
     else:
-        O_eff, rhs_batches, cross_blocks, ctx = _moments_segmented(
-            cfg, R_eff, Zf, codes, segments
-        )
-    # Intercept moments: every cell carries exactly one covariate-0 level,
-    # so the level-sum of the (pre-mask) covariate-0 blocks is the cell sum
-    # (Phi_Rk's intercept row, src/harmony.cpp:561).
-    b0 = cfg.B_vec[0]
-    r_tot = jnp.sum(O_eff[:, :b0], axis=1)  # (K,)
-    rhs0 = jnp.sum(rhs_batches[:, :b0, :], axis=1)  # (K, d)
-    O_eff = O_eff * keepf
-    rhs_batches = rhs_batches * keepf[:, :, None]
+        # Cell mask: kept iff ANY of the cell's batches is kept (union over
+        # covariates of the kept batches' cell sets, src/harmony.cpp:389-402).
+        # Fast path: when no batch is dropped anywhere (the common case with
+        # the 1e-5 default cutoff) the mask is all-true and the K x N gather +
+        # multiply is skipped at runtime via a real branch.
+        def _masked(R):
+            cell_mask = None
+            for c, off in enumerate(offsets):
+                kc = jnp.take(
+                    keep[:, off : off + cfg.B_vec[c]], codes[c], axis=1
+                )
+                cell_mask = kc if cell_mask is None else (cell_mask | kc)
+            return R.astype(f32) * cell_mask.astype(f32)
+
+        R_eff = jax.lax.cond(
+            jnp.all(keep),
+            lambda R: R.astype(f32),
+            _masked,
+            R,
+        )  # (K, N)
+
+        if segments is None:
+            O_eff, rhs_batches, cross_blocks, ctx = _moments_dense(
+                cfg, R_eff, Zf, codes
+            )
+        else:
+            O_eff, rhs_batches, cross_blocks, ctx = _moments_segmented(
+                cfg, R_eff, Zf, codes, segments
+            )
+        # Intercept moments: every cell carries exactly one covariate-0
+        # level, so the level-sum of the (pre-mask) covariate-0 blocks is
+        # the cell sum (Phi_Rk's intercept row, src/harmony.cpp:561).
+        b0 = cfg.B_vec[0]
+        r_tot = jnp.sum(O_eff[:, :b0], axis=1)  # (K,)
+        rhs0 = jnp.sum(rhs_batches[:, :b0, :], axis=1)  # (K, d)
+        O_eff = O_eff * keepf
+        rhs_batches = rhs_batches * keepf[:, :, None]
 
     # ---- Normal matrices G (K, B+1, B+1) ---------------------------------
     G = jnp.zeros((K, B + 1, B + 1), dtype=f32)
@@ -188,6 +213,11 @@ def moe_correct_ridge(
 
     # ---- Correction: Z_corr = Z_orig - sum_k W_k^T Phi_Rk ----------------
     # Per cell n: correction = sum_k R_eff[k,n] * sum_c W[k, 1+code_c(n), :]
+    if use_pallas:
+        Z_corr = pallas_correction(
+            cfg, W[:, 1:, :], R, Zf, oh_full, interpret=interp
+        ).astype(Z_orig.dtype)
+        return Z_corr, Y_new, W
     if segments is None:
         corr = _correction_dense(cfg, W, R_eff, ctx)
     else:

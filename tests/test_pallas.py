@@ -258,3 +258,97 @@ class TestPallasRotate:
             )
             out[impl] = o.objective_harmony[-1]
         np.testing.assert_allclose(out["pallas"], out["xla"], rtol=0.05)
+
+
+class TestPallasMstep:
+    """Fused M-step kernels (ops/pallas_ridge.py) vs the XLA dense path."""
+
+    def _setup(self, seed=1):
+        import dataclasses
+
+        import jax
+
+        from harmony_tpu.config import harmony_options
+        from harmony_tpu.engine import init_cluster
+        from harmony_tpu.preprocess import (
+            build_design, expand_hyperparams, orient_embedding,
+            resolve_config,
+        )
+        from harmony_tpu.state import init_state
+
+        from conftest import make_synthetic
+
+        n, d = 700, 12
+        Z, meta = make_synthetic(None, n_cells=n, d=d, n_batches=4, seed=seed)
+        design = build_design(meta, ["dataset"])
+        options = harmony_options()
+        cfg = resolve_config(
+            n_cells=n, d=d, design=design, nclust=8, max_iter=2,
+            early_stop=True, options=options, verbose=False,
+        )
+        cfg = dataclasses.replace(cfg, N_pad=704, estep_sub_tile=128)
+        hp = expand_hyperparams(design, cfg.K, None, 0.1, 1.0, options.tau)
+        state = init_state(
+            cfg, orient_embedding(Z, n), design, hp.sigma, hp.theta,
+            hp.lamb, jax.random.PRNGKey(seed),
+        )
+        state = jax.jit(lambda s: init_cluster(cfg, s))(state)
+        return cfg, state, np.asarray(meta["dataset"])
+
+    def _compare(self, cfg, state):
+        import dataclasses
+
+        import jax
+
+        from harmony_tpu import ops
+
+        outs = {}
+        for impl in ("xla", "pallas"):
+            c = dataclasses.replace(cfg, mstep_impl=impl)
+            Zc, Y, W = jax.jit(
+                lambda s: ops.moe_correct_ridge(
+                    c, s.Z_orig, s.R, s.O, s.E, s.codes, s.batch_sizes,
+                    s.lamb, s.Y,
+                )
+            )(state)
+            outs[impl] = tuple(np.asarray(x) for x in (Zc, Y, W))
+        for a, b in zip(outs["xla"], outs["pallas"]):
+            # fp contraction-order noise only: both impls sit ~5e-5 from a
+            # float64 ground truth on this fixture (pallas slightly closer)
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=2e-4)
+
+    def test_matches_xla_dense(self):
+        cfg, state, _ = self._setup()
+        self._compare(cfg, state)
+
+    def test_matches_xla_dense_with_dropped_batch(self):
+        """Keep-mask path: a batch pushed below batch_prop_cutoff must be
+        excluded identically (masked moments == the reference's
+        subset-regression, src/harmony.cpp:368-410)."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from harmony_tpu import ops
+        from harmony_tpu.ops.ridge import compute_masks
+
+        cfg, state, batches = self._setup()
+        bpad = np.concatenate([batches, np.full(cfg.Np - cfg.N, "x")])
+        R2 = np.asarray(state.R).copy()
+        R2[:, bpad == "b3"] = 1e-9  # below cutoff, cells effectively dropped
+        R2 = jnp.asarray(R2)
+        state = dataclasses.replace(
+            state, R=R2,
+            O=ops.compute_O(R2, state.codes, cfg.covariate_offsets, cfg.B),
+            E=ops.compute_E(R2, state.Pr_b),
+        )
+        keep, _ = compute_masks(cfg, state.O, state.batch_sizes)
+        assert not bool(np.asarray(keep).all())  # the path is exercised
+        self._compare(cfg, state)
+
+    def test_lambda_estimation_path(self):
+        import dataclasses
+
+        cfg, state, _ = self._setup()
+        cfg = dataclasses.replace(cfg, lambda_estimation=True)
+        self._compare(cfg, state)
