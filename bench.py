@@ -28,8 +28,12 @@ def main() -> int:
     # aggregate -> per-harmony-iteration baseline ~= 9478 / (4/5) ~= 11848.
     baseline = 9478.0 / (4.0 / 5.0)
 
+    # max_iter: timed rounds. The final host fetch pays one tunnel
+    # round-trip; amortise it over enough rounds that per-iter numbers
+    # reflect device time.
     result = run_bench(
-        n_cells=size, d=d, n_batches=n_batches, nclust=nclust, max_iter=3,
+        n_cells=size, d=d, n_batches=n_batches, nclust=nclust,
+        max_iter=int(os.environ.get("HARMONY_BENCH_ITERS", 10)),
         baseline_cells_per_sec=baseline,
         estep_impl=os.environ.get("HARMONY_BENCH_ESTEP"),
         mstep_mode=os.environ.get("HARMONY_BENCH_MSTEP"),

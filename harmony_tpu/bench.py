@@ -131,10 +131,9 @@ def run_bench(
     state = engine.init_cluster(state)
     sync(state)
 
-    # Warm-up: compile cluster + correct.
+    # Warm-up: compile the fused round (cluster + correct, one dispatch).
     t0 = time.perf_counter()
-    warm = engine.cluster(state)
-    warm = engine.correct(warm)
+    warm = engine.round(state)
     sync(warm)
     compile_and_first = time.perf_counter() - t0
 
@@ -143,8 +142,7 @@ def run_bench(
     t0 = time.perf_counter()
     state = warm
     for _ in range(max_iter):
-        state = engine.cluster(state)
-        state = engine.correct(state)
+        state = engine.round(state)
     sync(state)
     elapsed = time.perf_counter() - t0
 

@@ -171,6 +171,10 @@ class HarmonyConfig:
     # single-device rotate runs on TPU — resolved by finalize_engine_config).
     estep_impl: str = "xla"
     estep_sub_tile: int = 2048
+    # Pallas rotate rounds carry per-tile O statistics between rounds so a
+    # round never re-reads R from HBM (ops/pallas_rotate.py v2); False falls
+    # back to the two-phase kernel that recovers block stats by streaming R.
+    rotate_stats_carry: bool = True
     # Cell-shuffle strategy for the block updates. 'permute' reproduces the
     # reference exactly (fresh random permutation per round; costs one
     # indexed gather/scatter of the K x N state per round). 'rotate'
@@ -313,10 +317,27 @@ def finalize_engine_config(cfg: HarmonyConfig, mesh=None) -> HarmonyConfig:
             cfg.shuffle_mode == "rotate"
             and mesh is None
             and _jax.default_backend() == "tpu"
+            # The tile-rotate kernel quantises blocks to cell tiles (>=128
+            # cells each). Below n_blocks*128 cells it cannot express the
+            # reference's block count — at the extreme a single block,
+            # which removes the whole dataset from E/O and so nullifies
+            # the diversity penalty within each round. Small runs use the
+            # exact cell-granular XLA schedule instead.
+            and cfg.Np >= cfg.n_blocks * 128
         )
         cfg = _dc.replace(cfg, estep_impl="pallas" if use_pallas else "xla")
     if cfg.estep_impl == "pallas" and cfg.shuffle_mode == "rotate":
+        # Shrink the cell sub-tile so the round has at least n_blocks tiles
+        # (keeps the stochastic block schedule faithful at small N; no-op
+        # at the production shapes where Np/n_blocks >> estep_sub_tile).
         T = cfg.estep_sub_tile
+        per_block = max(cfg.Np // max(cfg.n_blocks, 1), 1)
+        fit = 128
+        while fit * 2 <= per_block:
+            fit *= 2
+        T = max(128, min(T, fit))
+        if T != cfg.estep_sub_tile:
+            cfg = _dc.replace(cfg, estep_sub_tile=T)
         Npt = -(-cfg.Np // T) * T
         if Npt != cfg.Np:
             cfg = _dc.replace(cfg, N_pad=Npt)

@@ -68,9 +68,10 @@ def harmonize(
         t0 = time.perf_counter()
         if perms is not None:
             state = engine.cluster(state, perms=jnp.asarray(perms[it]))
+            state = engine.correct(state)
         else:
-            state = engine.cluster(state)
-        state = engine.correct(state)
+            # one dispatch per round (see engine.harmony_round)
+            state = engine.round(state)
         converged = bool(engine.harmony_converged(state))
         if checkpoint_path and (it + 1) % checkpoint_every == 0:
             from .checkpoint import save_checkpoint

@@ -148,10 +148,6 @@ def cluster(
         )(round_keys)
     state = dataclasses.replace(state, key=key)
 
-    def cond(carry):
-        state, it, done = carry
-        return (~done) & (it < cfg.max_iter_cluster)
-
     if cfg.estep_impl == "pallas":
         from .ops.pallas_estep import pallas_block_update_round
 
@@ -166,23 +162,44 @@ def cluster(
     # Z_corr and codes are fixed across the phase's rounds: build the
     # rotate schedule's padded layout once, outside the round loop.
     use_pallas_rotate = use_rotate and cfg.estep_impl == "pallas"
-    if use_pallas_rotate:
+    use_stats_carry = use_pallas_rotate and cfg.rotate_stats_carry
+    interpret = jax.default_backend() == "cpu"
+    if use_stats_carry:
+        from .ops.pallas_rotate import (
+            RoundState, make_tile_layout, pallas_rotate_update_round_v2,
+            tile_stats_from_R,
+        )
+
+        rotate_layout = make_tile_layout(cfg, state.Z_corr, state.codes)
+        # seed the per-tile stats once per phase from the phase-start R
+        tile_O0 = tile_stats_from_R(cfg, state.R, rotate_layout.oh_pad)
+    elif use_pallas_rotate:
         from .ops.pallas_rotate import (
             make_tile_layout, pallas_rotate_update_round,
         )
 
         rotate_layout = make_tile_layout(cfg, state.Z_corr, state.codes)
         rotate_round = partial(
-            pallas_rotate_update_round,
-            interpret=jax.default_backend() == "cpu",
+            pallas_rotate_update_round, interpret=interpret
         )
     elif use_rotate:
         rotate_layout = ops.make_rotate_layout(cfg, state.Z_corr, state.codes)
         rotate_round = ops.rotate_update_round
 
     def body(carry):
-        state, it, _ = carry
-        if use_rotate:
+        state, tile_O, it, _ = carry
+        if use_stats_carry:
+            rs = RoundState(
+                R=state.R, E=state.E, O=state.O, tile_O=tile_O,
+                kmeans_error=jnp.float32(0), entropy=jnp.float32(0),
+            )
+            res = pallas_rotate_update_round_v2(
+                cfg, state.Z_corr, state.Y, rs, state.Pr_b, state.sigma,
+                state.theta, round_keys[it], layout=rotate_layout,
+                interpret=interpret,
+            )
+            tile_O = res.tile_O
+        elif use_rotate:
             res = rotate_round(
                 cfg, state.Z_corr, state.Y, state.R, state.E, state.O,
                 state.codes, state.Pr_b, state.sigma, state.theta,
@@ -202,10 +219,13 @@ def cluster(
         done = jnp.where(
             it > cfg.window_size, _kmeans_window_converged(cfg, state), False
         )
-        return (state, it + 1, done)
+        return (state, tile_O, it + 1, done)
 
-    state, iters, _ = jax.lax.while_loop(
-        cond, body, (state, jnp.int32(0), jnp.array(False))
+    tile_O_carry = tile_O0 if use_stats_carry else jnp.zeros((), jnp.float32)
+    state, _, iters, _ = jax.lax.while_loop(
+        lambda c: (~c[3]) & (c[2] < cfg.max_iter_cluster),
+        body,
+        (state, tile_O_carry, jnp.int32(0), jnp.array(False)),
     )
 
     # kmeans_rounds push + harmony objective push (src/harmony.cpp:259-260)
@@ -233,6 +253,20 @@ def correct(
     )
 
 
+def harmony_round(
+    cfg: HarmonyConfig, state: HarmonyState, segments=None
+) -> HarmonyState:
+    """One full Harmony round — cluster then correct — as a single program.
+
+    Semantically identical to ``correct(cluster(state))`` (the reference's
+    per-round pair of engine calls, R/utils.R:26,35); fusing them into one
+    jitted dispatch saves a host->device dispatch per round, which is
+    measurable through a remote-dispatch tunnel (~6 ms/round on the
+    canonical bench shape).
+    """
+    return correct(cfg, cluster(cfg, state), segments=segments)
+
+
 def harmony_converged(cfg: HarmonyConfig, state: HarmonyState) -> jnp.ndarray:
     """Harmony-level convergence (src/harmony.cpp:190-200)."""
     i = state.n_harmony
@@ -250,6 +284,7 @@ class Engine:
     init_cluster_from: callable
     cluster: callable
     correct: callable
+    round: callable
     harmony_converged: callable
 
 
@@ -301,5 +336,6 @@ def make_engine(cfg: HarmonyConfig, codes=None) -> Engine:
         init_cluster_from=jit(init_cluster_from),
         cluster=jit(cluster, donate=donate),
         correct=jit(correct, donate=donate, segments=segments),
+        round=jit(harmony_round, donate=donate, segments=segments),
         harmony_converged=jit(harmony_converged),
     )

@@ -233,6 +233,298 @@ def _schedule(cfg: HarmonyConfig, NT: int, key: jax.Array):
     )
 
 
+# --------------------------------------------------------------------------
+# v2: stats-carrying single-phase round
+#
+# The v1 kernel's phase-0 pass exists only to recover each block's *old*
+# contribution to (E, O) from the current R — one full HBM read of R per
+# round. But those contributions are sums of per-tile statistics that the
+# *previous* round already had in VMEM when it wrote each tile. v2 therefore
+# emits per-tile stats tile_O[t, k, b] = sum_{n in tile t} R[k,n]·oh[n,b] as
+# an extra (tiny) output, and each round receives the previous round's
+# tile_O: block-old stats for ANY new rotation/block partition are cheap
+# XLA cumsums over the (NT, K, B) table (tiles are rotation-agnostic; blocks
+# are contiguous virtual-tile runs). Per round the kernel then runs a single
+# assign phase over NT steps whose only large HBM traffic is one read of
+# Z/oh and one write of R — R is never re-read by the E-step.
+#
+# Per-cluster-phase seeding: tile_stats_from_R computes tile_O once from the
+# phase-start R (after the re-entry re-assignment, src/harmony.cpp:214-228).
+#
+# The intercept row-sums fall out of tile_O: every valid cell carries
+# exactly one covariate-0 level (pad cells have all-zero oh rows AND inert
+# zero R columns), so sum_{b < B_vec[0]} tile_O[t, :, b] is the tile's R
+# row-sum.
+# --------------------------------------------------------------------------
+
+# rows of the v2 per-step scalar table
+_V2_TILE = 0  # physical tile this step assigns (Z/oh fetch; R/tile_O write)
+_V2_BLK = 1  # processed block id (blk-stat fetch)
+_V2_FIRST = 2  # first step of the block
+_V2_LAST = 3  # last step of the block
+_V2_ROWS = 4
+
+
+class RoundState(NamedTuple):
+    """Carry for stats-carrying rotate rounds."""
+
+    R: jnp.ndarray
+    E: jnp.ndarray
+    O: jnp.ndarray
+    tile_O: jnp.ndarray  # (NT, K, B) per-tile O contributions of R
+    kmeans_error: jnp.ndarray
+    entropy: jnp.ndarray
+
+
+def tile_stats_from_R(
+    cfg: HarmonyConfig, R: jnp.ndarray, oh_pad: jnp.ndarray
+) -> jnp.ndarray:
+    """(NT, K, B) per-tile O contributions, one XLA pass over R."""
+    K, Np = R.shape
+    T = cfg.estep_sub_tile
+    NT = -(-Np // T)
+    Npt = NT * T
+    f32 = jnp.float32
+    R_p = R.astype(f32)
+    if Npt != Np:
+        R_p = jnp.concatenate([R_p, jnp.zeros((K, Npt - Np), f32)], axis=1)
+    R3 = R_p.reshape(K, NT, T)
+    oh3 = oh_pad.reshape(NT, T, -1)
+    return jnp.einsum(
+        "knt,ntb->nkb", R3, oh3, preferred_element_type=f32
+    )
+
+
+def _block_old_stats(
+    cfg: HarmonyConfig, tile_O: jnp.ndarray, NT: int, key: jax.Array
+):
+    """Per-round schedule + per-block old (E, O) contributions.
+
+    Returns (scal table (_V2_ROWS, NT), blk_O (nb, K, B)). Same rotation /
+    block-order distribution as the v1 schedule.
+    """
+    nb = min(cfg.n_blocks, NT)
+    base, rem = divmod(NT, nb)
+    szs = base + (jnp.arange(nb, dtype=jnp.int32) < rem).astype(jnp.int32)
+    vstart = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(szs)[:-1]]
+    )
+    k1, k2 = jax.random.split(key)
+    rt = jax.random.randint(k1, (), 0, NT)
+    order = jax.random.permutation(k2, nb).astype(jnp.int32)
+
+    # step table: process blocks in `order`, tiles within a block in
+    # virtual order; virtual slot v holds physical tile (v + rt) % NT
+    sz_o = szs[order]
+    blk = jnp.repeat(order, sz_o, total_repeat_length=NT)
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(sz_o)[:-1]]
+    )
+    within = jnp.arange(NT, dtype=jnp.int32) - jnp.repeat(
+        offs, sz_o, total_repeat_length=NT
+    )
+    tile = (vstart[blk] + within + rt) % NT
+    first = (within == 0).astype(jnp.int32)
+    last = (within == szs[blk] - 1).astype(jnp.int32)
+    scal = jnp.stack([tile, blk, first, last])
+
+    # block-old stats from the previous round's per-tile table: gather into
+    # virtual order, then contiguous-range sums via an exclusive cumsum
+    virt = (jnp.arange(NT, dtype=jnp.int32) + rt) % NT
+    tO_v = jnp.take(tile_O, virt, axis=0)  # (NT, K, B)
+    cs = jnp.cumsum(tO_v, axis=0, dtype=jnp.float32)
+    zero = jnp.zeros_like(cs[:1])
+    cs_ex = jnp.concatenate([zero, cs], axis=0)  # inclusive -> exclusive
+    blk_O = cs_ex[vstart + szs] - cs_ex[vstart]  # (nb, K, B)
+    return scal, blk_O
+
+
+def _round_kernel_v2(
+    scal_ref,  # (_V2_ROWS, NT) int32 step table
+    # inputs
+    Yt_ref,  # (K, d)
+    Z_ref,  # (d, T) tile at scal[_V2_TILE, s]
+    oh_ref,  # (T, B) tile at scal[_V2_TILE, s]
+    blkO_ref,  # (1, K, B) block-old O at scal[_V2_BLK, s]
+    E_in_ref,  # (K, B)
+    O_in_ref,  # (K, B)
+    Pr_ref,  # (1, B)
+    sigma_ref,  # (K, 1)
+    theta_ref,  # (1, B)
+    # outputs
+    R_out_ref,  # (K, T) tile at scal[_V2_TILE, s]
+    tO_out_ref,  # (1, K, B) tile at scal[_V2_TILE, s]
+    E_out_ref,  # (K, B)
+    O_out_ref,  # (K, B)
+    acc_ref,  # (1, 2) SMEM
+    # scratch
+    E_s,  # (K, B)
+    O_s,  # (K, B)
+    pen_s,  # (K, B)
+    rpend_s,  # (K, 1)
+    Opend_s,  # (K, B)
+    accv_s,  # (1, 2) SMEM
+    *,
+    b0: int,  # levels of covariate 0 (intercept row-sum slice)
+):
+    s = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    first = scal_ref[_V2_FIRST, s]
+    last = scal_ref[_V2_LAST, s]
+
+    @pl.when(s == 0)
+    def _():
+        E_s[:] = E_in_ref[:]
+        O_s[:] = O_in_ref[:]
+        accv_s[0, 0] = 0.0
+        accv_s[0, 1] = 0.0
+
+    @pl.when(first == 1)
+    def _():
+        # remove the whole block using the carried per-tile stats
+        # (src/harmony.cpp:312-313) and build the block-constant penalty
+        # (src/harmony.cpp:318-322)
+        Ob = blkO_ref[0]  # (K, B)
+        rb = jnp.sum(Ob[:, :b0], axis=1, keepdims=True)  # (K, 1)
+        E_s[:] = E_s[:] - rb * Pr_ref[0, :][None, :]
+        O_s[:] = O_s[:] - Ob
+        E, O = E_s[:], O_s[:]
+        pen_s[:] = ((2.0 * E + 1.0) / (O + E + 1.0)) ** theta_ref[0, :][None, :]
+        rpend_s[:] = jnp.zeros_like(rpend_s)
+        Opend_s[:] = jnp.zeros_like(Opend_s)
+
+    # assignments for this tile against the block-removed stats
+    # (src/harmony.cpp:318-323); invalid cells have all-zero one-hot rows,
+    # so the guarded normalise leaves inert zero columns
+    Z_t = Z_ref[:]  # (d, T)
+    oh_t = oh_ref[:]  # (T, B)
+    g = jnp.dot(Yt_ref[:], Z_t, preferred_element_type=jnp.float32)
+    d_t = 2.0 * (1.0 - g)
+    R_n = jnp.exp(-d_t / sigma_ref[:])
+    R_n = R_n / jnp.sum(R_n, axis=0, keepdims=True)
+    pc = jnp.dot(pen_s[:], oh_t.T, preferred_element_type=jnp.float32)
+    R_n = R_n * pc
+    colsum = jnp.sum(R_n, axis=0, keepdims=True)
+    R_n = R_n / jnp.where(colsum == 0.0, 1.0, colsum)
+
+    # per-tile stats: this IS the add-back bookkeeping AND the next round's
+    # block-old source
+    tO = jnp.dot(R_n, oh_t, preferred_element_type=jnp.float32)  # (K, B)
+    rpend_s[:] = rpend_s[:] + jnp.sum(tO[:, :b0], axis=1, keepdims=True)
+    Opend_s[:] = Opend_s[:] + tO
+    xlogx = jnp.where(R_n > 0, R_n * jnp.log(R_n), 0.0)
+    accv_s[0, 0] = accv_s[0, 0] + jnp.sum(R_n * d_t)
+    accv_s[0, 1] = accv_s[0, 1] + jnp.sum(sigma_ref[:] * xlogx)
+
+    R_out_ref[:] = R_n
+    tO_out_ref[0] = tO
+
+    @pl.when(last == 1)
+    def _():
+        # commit the block's new contribution (src/harmony.cpp:329-330)
+        E_s[:] = E_s[:] + rpend_s[:] * Pr_ref[0, :][None, :]
+        O_s[:] = O_s[:] + Opend_s[:]
+
+    @pl.when(s == n_steps - 1)
+    def _():
+        E_out_ref[:] = E_s[:]
+        O_out_ref[:] = O_s[:]
+        acc_ref[0, 0] = accv_s[0, 0]
+        acc_ref[0, 1] = accv_s[0, 1]
+
+
+def pallas_rotate_update_round_v2(
+    cfg: HarmonyConfig,
+    Z: jnp.ndarray,  # unused (layout carries Z); kept for signature parity
+    Y: jnp.ndarray,  # (d, K)
+    rs: "RoundState",
+    Pr_b: jnp.ndarray,
+    sigma: jnp.ndarray,
+    theta: jnp.ndarray,
+    key: jax.Array,
+    layout: TileLayout,
+    interpret: bool = False,
+) -> "RoundState":
+    """Stats-carrying rotate round: one Z/oh read + one R write per round."""
+    K, Np = rs.R.shape
+    d = layout.Z_pad.shape[0]
+    B = cfg.B
+    T = cfg.estep_sub_tile
+    f32 = jnp.float32
+    NT = -(-Np // T)
+    Npt = NT * T
+
+    scal, blk_O = _block_old_stats(cfg, rs.tile_O, NT, key)
+    nb = blk_O.shape[0]
+
+    from functools import partial as _partial
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NT,),
+        in_specs=[
+            pl.BlockSpec((K, d), lambda s, sc: (0, 0)),  # Y^T
+            pl.BlockSpec((d, T), lambda s, sc: (0, sc[_V2_TILE, s])),  # Z
+            pl.BlockSpec((T, B), lambda s, sc: (sc[_V2_TILE, s], 0)),  # oh
+            pl.BlockSpec((1, K, B), lambda s, sc: (sc[_V2_BLK, s], 0, 0)),
+            pl.BlockSpec((K, B), lambda s, sc: (0, 0)),  # E_in
+            pl.BlockSpec((K, B), lambda s, sc: (0, 0)),  # O_in
+            pl.BlockSpec((1, B), lambda s, sc: (0, 0)),  # Pr_b
+            pl.BlockSpec((K, 1), lambda s, sc: (0, 0)),  # sigma
+            pl.BlockSpec((1, B), lambda s, sc: (0, 0)),  # theta
+        ],
+        out_specs=[
+            pl.BlockSpec((K, T), lambda s, sc: (0, sc[_V2_TILE, s])),  # R new
+            pl.BlockSpec((1, K, B), lambda s, sc: (sc[_V2_TILE, s], 0, 0)),
+            pl.BlockSpec((K, B), lambda s, sc: (0, 0)),
+            pl.BlockSpec((K, B), lambda s, sc: (0, 0)),
+            pl.BlockSpec(
+                (1, 2), lambda s, sc: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((K, B), f32),  # E_s
+            pltpu.VMEM((K, B), f32),  # O_s
+            pltpu.VMEM((K, B), f32),  # pen_s
+            pltpu.VMEM((K, 1), f32),  # rpend
+            pltpu.VMEM((K, B), f32),  # Opend
+            pltpu.SMEM((1, 2), f32),  # accv
+        ],
+    )
+    kernel = pl.pallas_call(
+        _partial(_round_kernel_v2, b0=cfg.B_vec[0]),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((K, Npt), f32),
+            jax.ShapeDtypeStruct((NT, K, B), f32),
+            jax.ShapeDtypeStruct((K, B), f32),
+            jax.ShapeDtypeStruct((K, B), f32),
+            jax.ShapeDtypeStruct((1, 2), f32),
+        ],
+        interpret=interpret,
+    )
+    R_new, tO_new, E_out, O_out, acc = kernel(
+        scal,
+        Y.T.astype(f32),
+        layout.Z_pad,
+        layout.oh_pad,
+        blk_O,
+        rs.E.astype(f32),
+        rs.O.astype(f32),
+        Pr_b.astype(f32)[None, :],
+        sigma.astype(f32)[:, None],
+        theta.astype(f32)[None, :],
+    )
+    return RoundState(
+        R=(R_new[:, :Np] if Npt != Np else R_new).astype(rs.R.dtype),
+        E=E_out.astype(rs.E.dtype),
+        O=O_out.astype(rs.O.dtype),
+        tile_O=tO_new,
+        kmeans_error=acc[0, 0],
+        entropy=acc[0, 1],
+    )
+
+
 def pallas_rotate_update_round(
     cfg: HarmonyConfig,
     Z: jnp.ndarray,  # (d, Np)

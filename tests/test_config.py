@@ -162,3 +162,47 @@ def test_theta_tau_scaling():
     # tau=0 leaves theta unscaled
     hp0 = expand_hyperparams(dm, 4, 2.0, 0.1, 1.0, 0)
     np.testing.assert_allclose(hp0.theta, [2.0, 2.0])
+
+
+class TestFinalizeEngineTileSizing:
+    """Tile-rotate schedule must be able to express the block structure
+    (a single-tile round degenerates to one block and nullifies the
+    diversity penalty)."""
+
+    def _cfg(self, n, **over):
+        import dataclasses
+
+        from harmony_tpu.config import harmony_options
+        from harmony_tpu.preprocess import build_design, resolve_config
+
+        import numpy as np
+        design = build_design(
+            {"dataset": np.arange(n) % 3}, ["dataset"]
+        )
+        cfg = resolve_config(
+            n_cells=n, d=8, design=design, nclust=5, max_iter=2,
+            early_stop=True, options=harmony_options(), verbose=False,
+        )
+        return dataclasses.replace(cfg, shuffle_mode="rotate", **over)
+
+    def test_small_n_auto_falls_back_to_xla(self):
+        from harmony_tpu.config import finalize_engine_config
+
+        cfg = finalize_engine_config(self._cfg(2000, estep_impl="auto"))
+        # on CPU auto is xla anyway; the invariant that matters everywhere:
+        # pallas is never auto-picked when blocks cannot be expressed
+        assert cfg.estep_impl == "xla"
+
+    def test_forced_pallas_shrinks_tile_to_fit_blocks(self):
+        from harmony_tpu.config import finalize_engine_config
+
+        cfg = finalize_engine_config(self._cfg(20000, estep_impl="pallas"))
+        NT = -(-cfg.Np // cfg.estep_sub_tile)
+        assert NT >= cfg.n_blocks, (cfg.estep_sub_tile, NT, cfg.n_blocks)
+
+    def test_large_n_tile_unchanged(self):
+        from harmony_tpu.config import finalize_engine_config
+
+        cfg = finalize_engine_config(self._cfg(500_000, estep_impl="pallas"))
+        assert cfg.estep_sub_tile == 2048
+        assert cfg.Np % 2048 == 0

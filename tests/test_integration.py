@@ -161,3 +161,40 @@ def test_batch_effect_reduced():
     Zn = Z / np.linalg.norm(Z, axis=1, keepdims=True)
     Cn = corrected / np.linalg.norm(corrected, axis=1, keepdims=True)
     assert sep(Cn) < 0.5 * sep(Zn)
+
+
+def test_fused_round_matches_separate_phases():
+    """engine.round (one dispatch) == correct(cluster(state)) exactly."""
+    import jax
+
+    from harmony_tpu.config import harmony_options
+    from harmony_tpu.engine import make_engine
+    from harmony_tpu.preprocess import (
+        build_design, expand_hyperparams, orient_embedding, resolve_config,
+    )
+    from harmony_tpu.state import init_state
+
+    Z, meta = make_synthetic(None, n_cells=240, d=8, seed=3)
+    options = harmony_options()
+    design = build_design(meta, ["dataset"])
+    Zt = orient_embedding(Z, 240)
+    cfg = resolve_config(
+        n_cells=240, d=8, design=design, nclust=10, max_iter=3,
+        early_stop=False, options=options, verbose=False,
+    )
+    hp = expand_hyperparams(design, cfg.K, None, 0.1, 1.0, options.tau)
+    state = init_state(
+        cfg, Zt, design, hp.sigma, hp.theta, hp.lamb, jax.random.PRNGKey(7)
+    )
+    engine = make_engine(cfg, codes=state.codes)
+    state = engine.init_cluster(state)
+
+    fused = engine.round(state)
+    separate = engine.correct(engine.cluster(state))
+    np.testing.assert_array_equal(
+        np.asarray(fused.Z_corr), np.asarray(separate.Z_corr)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fused.objective_kmeans), np.asarray(separate.objective_kmeans)
+    )
+    assert int(fused.n_harmony) == int(separate.n_harmony)

@@ -352,3 +352,134 @@ class TestPallasMstep:
         cfg, state, _ = self._setup()
         cfg = dataclasses.replace(cfg, lambda_estimation=True)
         self._compare(cfg, state)
+
+
+class TestPallasRotateV2(TestPallasRotate):
+    """Stats-carrying single-phase rotate kernel (v2)."""
+
+    def _v2(self, cfg, state, key, tile_O=None):
+        import jax
+        import jax.numpy as jnp
+
+        from harmony_tpu.ops.pallas_rotate import (
+            RoundState, make_tile_layout, pallas_rotate_update_round_v2,
+            tile_stats_from_R,
+        )
+
+        def run(s):
+            layout = make_tile_layout(cfg, s.Z_corr, s.codes)
+            tO = (
+                tile_stats_from_R(cfg, s.R, layout.oh_pad)
+                if tile_O is None else tile_O
+            )
+            rs = RoundState(
+                R=s.R, E=s.E, O=s.O, tile_O=tO,
+                kmeans_error=jnp.float32(0), entropy=jnp.float32(0),
+            )
+            return pallas_rotate_update_round_v2(
+                cfg, s.Z_corr, s.Y, rs, s.Pr_b, s.sigma, s.theta, key,
+                layout=layout, interpret=True,
+            )
+
+        return jax.jit(run)(state)
+
+    def test_v2_matches_v1_one_round(self):
+        """Same key -> same schedule -> same assignments as the two-phase
+        kernel (fp-order differences only)."""
+        import jax
+
+        from harmony_tpu.ops.pallas_rotate import pallas_rotate_update_round
+
+        cfg, state = self._setup()
+        key = jax.random.PRNGKey(11)
+        res1 = jax.jit(
+            lambda s: pallas_rotate_update_round(
+                cfg, s.Z_corr, s.Y, s.R, s.E, s.O, s.codes, s.Pr_b,
+                s.sigma, s.theta, key, interpret=True,
+            )
+        )(state)
+        res2 = self._v2(cfg, state, key)
+        np.testing.assert_allclose(
+            np.asarray(res2.R), np.asarray(res1.R), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(res2.E), np.asarray(res1.E), rtol=1e-5, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(res2.O), np.asarray(res1.O), rtol=1e-5, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(res2.kmeans_error), float(res1.kmeans_error), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(res2.entropy), float(res1.entropy), rtol=1e-5
+        )
+
+    def test_v2_carried_stats_match_recompute(self):
+        """Round 2 driven by carried tile_O == round 2 driven by stats
+        recomputed from the written R (the carry is exact)."""
+        import jax
+
+        cfg, state = self._setup(n=530, npad=536, T=128)
+        import dataclasses
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+        res_a = self._v2(cfg, state, k1)
+        state2 = dataclasses.replace(state, R=res_a.R, E=res_a.E, O=res_a.O)
+        # (a) carried stats from round 1
+        out_carry = self._v2(cfg, state2, k2, tile_O=res_a.tile_O)
+        # (b) stats recomputed from R
+        out_fresh = self._v2(cfg, state2, k2)
+        np.testing.assert_allclose(
+            np.asarray(out_carry.R), np.asarray(out_fresh.R), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_carry.O), np.asarray(out_fresh.O),
+            rtol=1e-5, atol=1e-4,
+        )
+
+    # inherit self-consistency tests, overriding the round entrypoint
+    def test_round_self_consistent(self):
+        import jax
+
+        from harmony_tpu import ops
+
+        cfg, state = self._setup()
+        res = self._v2(cfg, state, jax.random.PRNGKey(7))
+        R = np.asarray(res.R)
+        np.testing.assert_allclose(R[:, : cfg.N].sum(0), 1.0, atol=1e-5)
+        assert np.all(R[:, cfg.N:] == 0.0)
+        E2 = np.asarray(ops.compute_E(res.R, state.Pr_b))
+        O2 = np.asarray(
+            ops.compute_O(res.R, state.codes, cfg.covariate_offsets, cfg.B)
+        )
+        np.testing.assert_allclose(E2, np.asarray(res.E), atol=1e-4)
+        np.testing.assert_allclose(O2, np.asarray(res.O), atol=1e-4)
+        # tile_O output is consistent with the written R
+        from harmony_tpu.ops.pallas_rotate import (
+            make_tile_layout, tile_stats_from_R,
+        )
+        import jax as _jax
+        layout = make_tile_layout(cfg, state.Z_corr, state.codes)
+        tO2 = _jax.jit(
+            lambda R: tile_stats_from_R(cfg, R, layout.oh_pad)
+        )(res.R)
+        np.testing.assert_allclose(
+            np.asarray(res.tile_O), np.asarray(tO2), atol=1e-4
+        )
+
+    def test_every_cell_updated_once(self):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        cfg, state = self._setup(n=530, npad=536, T=128)
+        state = dataclasses.replace(
+            state, R=jnp.full_like(state.R, 7.0)
+            * (jnp.arange(cfg.Np) < cfg.N)[None, :].astype(state.R.dtype)
+        )
+        res = self._v2(cfg, state, jax.random.PRNGKey(3))
+        R = np.asarray(res.R)
+        np.testing.assert_allclose(R[:, : cfg.N].sum(0), 1.0, atol=1e-5)
+        assert R.max() <= 1.0 + 1e-5
