@@ -241,12 +241,13 @@ def cluster(
 
 
 def correct(
-    cfg: HarmonyConfig, state: HarmonyState, segments=None
+    cfg: HarmonyConfig, state: HarmonyState, segments=None, onehots=None
 ) -> HarmonyState:
     """M-step: MoE ridge correction + centroid refresh (src/harmony.cpp:345-638)."""
     Z_corr, Y_new, _ = ops.moe_correct_ridge(
         cfg, state.Z_orig, state.R, state.O, state.E, state.codes,
         state.batch_sizes, state.lamb, state.Y, segments=segments,
+        onehots=onehots,
     )
     return dataclasses.replace(
         state, Z_corr=Z_corr, Y=Y_new, n_rounds=state.n_rounds + 1
@@ -254,7 +255,7 @@ def correct(
 
 
 def harmony_round(
-    cfg: HarmonyConfig, state: HarmonyState, segments=None
+    cfg: HarmonyConfig, state: HarmonyState, segments=None, onehots=None
 ) -> HarmonyState:
     """One full Harmony round — cluster then correct — as a single program.
 
@@ -264,7 +265,9 @@ def harmony_round(
     measurable through a remote-dispatch tunnel (~6 ms/round on the
     canonical bench shape).
     """
-    return correct(cfg, cluster(cfg, state), segments=segments)
+    return correct(
+        cfg, cluster(cfg, state), segments=segments, onehots=onehots
+    )
 
 
 def harmony_converged(cfg: HarmonyConfig, state: HarmonyState) -> jnp.ndarray:
@@ -308,6 +311,7 @@ def make_engine(cfg: HarmonyConfig, codes=None) -> Engine:
     enables the segmented M-step when ``cfg.use_segments``; the tile layout
     is static per run and closed over as a jit constant."""
     segments = None
+    onehots = None
     if cfg.use_segments and codes is not None:
         import numpy as np
 
@@ -315,6 +319,15 @@ def make_engine(cfg: HarmonyConfig, codes=None) -> Engine:
 
         segments = build_segments(
             cfg, np.asarray(codes), tile=cfg.segment_tile
+        )
+    elif codes is not None and cfg.mstep_impl != "pallas":
+        # The dense M-step's one-hot designs are fixed for the whole run;
+        # build them once and close over them as jit constants instead of
+        # re-materialising (N, B) arrays every correction.
+        codes_arr = jnp.asarray(codes)
+        onehots = tuple(
+            jax.nn.one_hot(codes_arr[c], cfg.B_vec[c], dtype=jnp.float32)
+            for c in range(cfg.n_covariates)
         )
 
     # cluster/correct inputs are single-use along the driver chain; donating
@@ -335,7 +348,9 @@ def make_engine(cfg: HarmonyConfig, codes=None) -> Engine:
         init_cluster=jit(init_cluster),
         init_cluster_from=jit(init_cluster_from),
         cluster=jit(cluster, donate=donate),
-        correct=jit(correct, donate=donate, segments=segments),
-        round=jit(harmony_round, donate=donate, segments=segments),
+        correct=jit(correct, donate=donate, segments=segments,
+                    onehots=onehots),
+        round=jit(harmony_round, donate=donate, segments=segments,
+                  onehots=onehots),
         harmony_converged=jit(harmony_converged),
     )

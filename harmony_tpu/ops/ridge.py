@@ -79,6 +79,7 @@ def moe_correct_ridge(
     lamb: jnp.ndarray,  # (B+1,) fixed ridge diag (ignored when estimating)
     Y_old: jnp.ndarray,  # (d, K) previous centroids
     segments=None,  # tuple[CovariateSegments] -> tiled O(K N d) moment path
+    onehots=None,  # precomputed per-covariate (N, B_c) one-hot designs
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Return (Z_corr, Y_new, W) — W is (K, B+1, d) with intercept rows zeroed.
 
@@ -121,6 +122,25 @@ def moe_correct_ridge(
         r_tot = jnp.sum(O_eff, axis=1)
         rhs0 = jnp.sum(rhs_batches, axis=1)
         cross_blocks, ctx, R_eff = {}, None, None
+    elif cfg.n_covariates == 1:
+        # Same single-covariate argument on the XLA path: contract raw R
+        # and keep-mask the moments. This skips the (K, N) cell-mask
+        # gather AND the lax.cond around it — whose identity branch still
+        # costs a full copy of R per call.
+        R_eff = R.astype(f32)
+        if segments is None:
+            O_all, rhs_all, cross_blocks, ctx = _moments_dense(
+                cfg, R_eff, Zf, codes, onehots
+            )
+        else:
+            O_all, rhs_all, cross_blocks, ctx = _moments_segmented(
+                cfg, R_eff, Zf, codes, segments
+            )
+        O_eff = O_all * keepf
+        rhs_batches = rhs_all * keepf[:, :, None]
+        # intercept moments over kept cells = sum of keep-masked blocks
+        r_tot = jnp.sum(O_eff, axis=1)
+        rhs0 = jnp.sum(rhs_batches, axis=1)
     else:
         # Cell mask: kept iff ANY of the cell's batches is kept (union over
         # covariates of the kept batches' cell sets, src/harmony.cpp:389-402).
@@ -145,7 +165,7 @@ def moe_correct_ridge(
 
         if segments is None:
             O_eff, rhs_batches, cross_blocks, ctx = _moments_dense(
-                cfg, R_eff, Zf, codes
+                cfg, R_eff, Zf, codes, onehots
             )
         else:
             O_eff, rhs_batches, cross_blocks, ctx = _moments_segmented(
@@ -226,20 +246,23 @@ def moe_correct_ridge(
     return Z_corr, Y_new, W
 
 
-def _moments_dense(cfg, R_eff, Zf, codes):
+def _moments_dense(cfg, R_eff, Zf, codes, onehots=None):
     """One-hot contractions: O(K·N·B·d). Small-N path + test reference.
 
     Z is augmented with a ones row so each covariate's single contraction
     yields both its RHS block and its O row (the ones component); the
     intercept moments fall out as the level-sum of covariate 0's blocks —
-    one pass over R per covariate instead of three.
+    one pass over R per covariate instead of three. ``onehots`` optionally
+    supplies the designs precomputed once per engine (they are fixed for
+    the whole run).
     """
     f32 = jnp.float32
     K = cfg.K
-    onehots = [
-        jax.nn.one_hot(codes[c], cfg.B_vec[c], dtype=f32)  # (N, B_c)
-        for c in range(cfg.n_covariates)
-    ]
+    if onehots is None:
+        onehots = [
+            jax.nn.one_hot(codes[c], cfg.B_vec[c], dtype=f32)  # (N, B_c)
+            for c in range(cfg.n_covariates)
+        ]
     Z_aug = jnp.concatenate(
         [Zf, jnp.ones((1, Zf.shape[1]), f32)], axis=0
     )  # (d+1, N)
