@@ -131,18 +131,19 @@ def run_bench(
     state = engine.init_cluster(state)
     sync(state)
 
-    # Warm-up: compile the fused round (cluster + correct, one dispatch).
+    # Warm-up: compile the fused multi-round program (the whole loop is one
+    # dispatch; n_max is a traced scalar so warm-up and timed runs share it).
+    import jax.numpy as jnp
+
     t0 = time.perf_counter()
-    warm = engine.round(state)
+    warm = engine.run_rounds(state, jnp.int32(1))
     sync(warm)
     compile_and_first = time.perf_counter() - t0
 
     # Timed rounds (continue from the warmed state so convergence state is
     # realistic; early_stop disabled above so rounds don't vanish).
     t0 = time.perf_counter()
-    state = warm
-    for _ in range(max_iter):
-        state = engine.round(state)
+    state = engine.run_rounds(warm, jnp.int32(max_iter))
     sync(state)
     elapsed = time.perf_counter() - t0
 

@@ -62,6 +62,18 @@ def harmonize(
     if verbose:
         _ensure_verbose_handler()
 
+    if (
+        perms is None
+        and abort is None
+        and checkpoint_path is None
+        and not verbose
+    ):
+        # Nothing needs the host between rounds: run the whole loop —
+        # including the convergence test — as one device program
+        # (engine.run_rounds). Per-round host round-trips otherwise cost
+        # ~6 ms each through a remote-dispatch tunnel.
+        return engine.run_rounds(state, jnp.int32(max_iter))
+
     for it in range(max_iter):
         if abort is not None and abort.aborted():
             raise KeyboardInterrupt("harmony run aborted by user")

@@ -130,18 +130,24 @@ def cluster(
     ``perms`` optionally injects the (max_iter_cluster, N) cell permutations
     (parity hook); otherwise they are drawn from the state PRNG key.
     """
+    use_rotate = cfg.shuffle_mode == "rotate" and perms is None
+    use_pallas_rotate = use_rotate and cfg.estep_impl == "pallas"
+    use_stats_carry = use_pallas_rotate and cfg.rotate_stats_carry
+    interpret = jax.default_backend() == "cpu"
+
     # Re-entry re-estimation (src/harmony.cpp:214-228). The trace cursor is
     # 1 right after init, so this triggers for every round but the first.
-    state = jax.lax.cond(
-        state.n_harmony != 1,
-        lambda s: _assign_from_centroids(cfg, s)[0],
-        lambda s: s,
-        state,
-    )
+    # The stats-carry path fuses it below with the tile-stat seeding.
+    if not use_stats_carry:
+        state = jax.lax.cond(
+            state.n_harmony != 1,
+            lambda s: _assign_from_centroids(cfg, s)[0],
+            lambda s: s,
+            state,
+        )
 
     key, sub = jax.random.split(state.key)
     round_keys = jax.random.split(sub, cfg.max_iter_cluster)
-    use_rotate = cfg.shuffle_mode == "rotate" and perms is None
     if perms is None and not use_rotate:
         perms = jax.vmap(
             lambda k: jax.random.permutation(k, cfg.N).astype(jnp.int32)
@@ -161,18 +167,38 @@ def cluster(
 
     # Z_corr and codes are fixed across the phase's rounds: build the
     # rotate schedule's padded layout once, outside the round loop.
-    use_pallas_rotate = use_rotate and cfg.estep_impl == "pallas"
-    use_stats_carry = use_pallas_rotate and cfg.rotate_stats_carry
-    interpret = jax.default_backend() == "cpu"
     if use_stats_carry:
         from .ops.pallas_rotate import (
             RoundState, make_tile_layout, pallas_rotate_update_round_v2,
-            tile_stats_from_R,
+            pallas_reassign, tile_stats_from_R,
         )
 
-        rotate_layout = make_tile_layout(cfg, state.Z_corr, state.codes)
-        # seed the per-tile stats once per phase from the phase-start R
-        tile_O0 = tile_stats_from_R(cfg, state.R, rotate_layout.oh_pad)
+        # Re-entry + seed, fused: one kernel recomputes R/E/O from the
+        # centroids AND emits the per-tile stats (no separate read of R).
+        # Normalising is idempotent, so it runs unconditionally (init
+        # already normalised Z_corr on the first entry).
+        Zn = l2_normalize_columns(state.Z_corr)
+        state = dataclasses.replace(state, Z_corr=Zn)
+        rotate_layout = make_tile_layout(cfg, Zn, state.codes)
+
+        def _reentry(s):
+            R, tO, O, E = pallas_reassign(
+                cfg, s.Y, s.sigma, s.Pr_b, rotate_layout,
+                interpret=interpret,
+            )
+            s = dataclasses.replace(
+                s, R=R.astype(s.R.dtype), E=E.astype(s.E.dtype),
+                O=O.astype(s.O.dtype),
+            )
+            return s, tO
+
+        def _first(s):
+            # first entry after init: R/E/O are current, only seed stats
+            return s, tile_stats_from_R(cfg, s.R, rotate_layout.oh_pad)
+
+        state, tile_O0 = jax.lax.cond(
+            state.n_harmony != 1, _reentry, _first, state
+        )
     elif use_pallas_rotate:
         from .ops.pallas_rotate import (
             make_tile_layout, pallas_rotate_update_round,
@@ -278,6 +304,38 @@ def harmony_converged(cfg: HarmonyConfig, state: HarmonyState) -> jnp.ndarray:
     return (obj_old - obj_new) / jnp.abs(obj_old) < cfg.epsilon_harmony
 
 
+def run_rounds(
+    cfg: HarmonyConfig,
+    state: HarmonyState,
+    n_max: jnp.ndarray,
+    segments=None,
+    onehots=None,
+) -> HarmonyState:
+    """Up to ``n_max`` full Harmony rounds as ONE device program.
+
+    The reference's outer loop (R/utils.R:15-46) calls the engine per
+    round and polls convergence on the host; here the loop and the
+    convergence test (src/harmony.cpp:190-200) both run on device in a
+    ``lax.while_loop``, so an entire run is a single dispatch — through a
+    remote-dispatch tunnel the per-round host round-trip (~6 ms) otherwise
+    dominates at production sizes. ``n_max`` is a traced scalar: one
+    compiled program serves any iteration budget up to the state's trace
+    capacity.
+    """
+
+    def body(carry):
+        s, i, _ = carry
+        s = harmony_round(cfg, s, segments=segments, onehots=onehots)
+        return (s, i + 1, harmony_converged(cfg, s))
+
+    state, _, _ = jax.lax.while_loop(
+        lambda c: (~c[2]) & (c[1] < n_max),
+        body,
+        (state, jnp.int32(0), jnp.array(False)),
+    )
+    return state
+
+
 @dataclasses.dataclass(frozen=True)
 class Engine:
     """Jitted engine phases specialised to one static config."""
@@ -288,6 +346,7 @@ class Engine:
     cluster: callable
     correct: callable
     round: callable
+    run_rounds: callable
     harmony_converged: callable
 
 
@@ -352,5 +411,7 @@ def make_engine(cfg: HarmonyConfig, codes=None) -> Engine:
                     onehots=onehots),
         round=jit(harmony_round, donate=donate, segments=segments,
                   onehots=onehots),
+        run_rounds=jit(run_rounds, donate=donate, segments=segments,
+                       onehots=onehots),
         harmony_converged=jit(harmony_converged),
     )

@@ -525,6 +525,114 @@ def pallas_rotate_update_round_v2(
     )
 
 
+def _reassign_kernel(
+    # inputs
+    Yt_ref,  # (K, d)
+    Z_ref,  # (d, T) tile s
+    oh_ref,  # (T, B) tile s
+    sigma_ref,  # (K, 1)
+    # outputs
+    R_out_ref,  # (K, T) tile s
+    tO_out_ref,  # (1, K, B) tile s
+    O_out_ref,  # (K, B)
+    # scratch
+    O_s,  # (K, B)
+    *,
+    ncov: int,
+):
+    s = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+
+    @pl.when(s == 0)
+    def _():
+        O_s[:] = jnp.zeros_like(O_s)
+
+    Z_t = Z_ref[:]  # (d, T)
+    oh_t = oh_ref[:]  # (T, B)
+    g = jnp.dot(Yt_ref[:], Z_t, preferred_element_type=jnp.float32)
+    d_t = 2.0 * (1.0 - g)
+    R_n = jnp.exp(-d_t / sigma_ref[:])
+    # pad cells (all-zero one-hot rows) must yield inert zero columns; every
+    # valid cell carries exactly `ncov` ones
+    valid = jnp.sum(oh_t, axis=1)[None, :] * (1.0 / ncov)  # (1, T)
+    R_n = R_n * valid
+    colsum = jnp.sum(R_n, axis=0, keepdims=True)
+    R_n = R_n / jnp.where(colsum == 0.0, 1.0, colsum)
+
+    tO = jnp.dot(R_n, oh_t, preferred_element_type=jnp.float32)  # (K, B)
+    O_s[:] = O_s[:] + tO
+    R_out_ref[:] = R_n
+    tO_out_ref[0] = tO
+
+    @pl.when(s == n_steps - 1)
+    def _():
+        O_out_ref[:] = O_s[:]
+
+
+def pallas_reassign(
+    cfg: HarmonyConfig,
+    Y: jnp.ndarray,  # (d, K)
+    sigma: jnp.ndarray,  # (K,)
+    Pr_b: jnp.ndarray,  # (B,)
+    layout: TileLayout,
+    interpret: bool = False,
+):
+    """Fused re-entry re-assignment + tile-stat seed (one Z read, one R write).
+
+    Computes R = L1norm(exp(-2(1 - Y^T Z)/sigma)), O = R Phi^T and
+    E = rowsums(R) Pr_b^T from the current centroids — the re-entry
+    re-estimation of src/harmony.cpp:220-227 — while also emitting the
+    (NT, K, B) per-tile O table that seeds the stats-carrying round kernel,
+    replacing the separate ``tile_stats_from_R`` pass (which costs a full
+    extra HBM read of R plus a layout change).
+    """
+    K = cfg.K
+    d = layout.Z_pad.shape[0]
+    B = cfg.B
+    T = cfg.estep_sub_tile
+    f32 = jnp.float32
+    Npt = layout.Z_pad.shape[1]
+    NT = Npt // T
+
+    from functools import partial as _partial
+
+    kernel = pl.pallas_call(
+        _partial(_reassign_kernel, ncov=cfg.n_covariates),
+        grid=(NT,),
+        in_specs=[
+            pl.BlockSpec((K, d), lambda s: (0, 0)),  # Y^T
+            pl.BlockSpec((d, T), lambda s: (0, s)),  # Z
+            pl.BlockSpec((T, B), lambda s: (s, 0)),  # oh
+            pl.BlockSpec((K, 1), lambda s: (0, 0)),  # sigma
+        ],
+        out_specs=[
+            pl.BlockSpec((K, T), lambda s: (0, s)),  # R
+            pl.BlockSpec((1, K, B), lambda s: (s, 0, 0)),  # tile_O
+            pl.BlockSpec((K, B), lambda s: (0, 0)),  # O
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, Npt), f32),
+            jax.ShapeDtypeStruct((NT, K, B), f32),
+            jax.ShapeDtypeStruct((K, B), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((K, B), f32)],
+        interpret=interpret,
+    )
+    R_new, tile_O, O = kernel(
+        Y.T.astype(f32),
+        layout.Z_pad,
+        layout.oh_pad,
+        sigma.astype(f32)[:, None],
+    )
+    if Npt != cfg.Np:
+        R_new = R_new[:, : cfg.Np]
+    # E = rowsums(R) Pr_b^T (src/harmony.cpp:226); rowsums fall out of the
+    # covariate-0 block of O (every valid cell carries exactly one level)
+    rsum = jnp.sum(O[:, : cfg.B_vec[0]], axis=1)
+    E = rsum[:, None] * Pr_b.astype(f32)[None, :]
+    return R_new, tile_O, O, E
+
+
 def pallas_rotate_update_round(
     cfg: HarmonyConfig,
     Z: jnp.ndarray,  # (d, Np)

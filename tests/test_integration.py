@@ -198,3 +198,46 @@ def test_fused_round_matches_separate_phases():
         np.asarray(fused.objective_kmeans), np.asarray(separate.objective_kmeans)
     )
     assert int(fused.n_harmony) == int(separate.n_harmony)
+
+
+def test_run_rounds_matches_host_loop():
+    """engine.run_rounds (whole loop on device) == per-round host loop,
+    including the early-stop behaviour of the convergence test."""
+    import jax
+    import jax.numpy as jnp
+
+    from harmony_tpu.config import harmony_options
+    from harmony_tpu.engine import make_engine
+    from harmony_tpu.preprocess import (
+        build_design, expand_hyperparams, orient_embedding, resolve_config,
+    )
+    from harmony_tpu.state import init_state
+
+    Z, meta = make_synthetic(None, n_cells=240, d=8, seed=5)
+    options = harmony_options()
+    design = build_design(meta, ["dataset"])
+    Zt = orient_embedding(Z, 240)
+    cfg = resolve_config(
+        n_cells=240, d=8, design=design, nclust=10, max_iter=6,
+        early_stop=True, options=options, verbose=False,
+    )
+    hp = expand_hyperparams(design, cfg.K, None, 0.1, 1.0, options.tau)
+    state = init_state(
+        cfg, Zt, design, hp.sigma, hp.theta, hp.lamb, jax.random.PRNGKey(7)
+    )
+    engine = make_engine(cfg, codes=state.codes)
+    state = engine.init_cluster(state)
+
+    host = state
+    for _ in range(6):
+        host = engine.round(host)
+        if bool(engine.harmony_converged(host)):
+            break
+    fused = engine.run_rounds(state, jnp.int32(6))
+    assert int(fused.n_rounds) == int(host.n_rounds)
+    np.testing.assert_array_equal(
+        np.asarray(fused.Z_corr), np.asarray(host.Z_corr)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fused.objective_harmony), np.asarray(host.objective_harmony)
+    )

@@ -483,3 +483,43 @@ class TestPallasRotateV2(TestPallasRotate):
         R = np.asarray(res.R)
         np.testing.assert_allclose(R[:, : cfg.N].sum(0), 1.0, atol=1e-5)
         assert R.max() <= 1.0 + 1e-5
+
+
+class TestPallasReassign:
+    """Fused re-entry reassignment kernel vs the XLA path."""
+
+    def test_matches_xla_reassign(self):
+        from harmony_tpu.ops.pallas_rotate import (
+            make_tile_layout, pallas_reassign, tile_stats_from_R,
+        )
+
+        for B_vec, N_pad in [((3,), None), ((2, 3), 640)]:
+            cfg, Z, Y, R, E, O, codes, Pr_b, sigma, theta, _ = _problem(
+                B_vec=B_vec, N_pad=N_pad, seed=4
+            )
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, estep_sub_tile=128)
+            layout = make_tile_layout(cfg, Z, codes)
+
+            R2, tO2, O2, E2 = jax.jit(
+                lambda Y, sigma, Pr_b: pallas_reassign(
+                    cfg, Y, sigma, Pr_b, layout, interpret=True
+                )
+            )(Y, sigma, Pr_b)
+
+            # XLA reference: the _problem fixture already computed R/E/O
+            # exactly the re-entry way (initial_assignments + stats)
+            np.testing.assert_allclose(
+                np.asarray(R2), np.asarray(R), atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(O2), np.asarray(O), rtol=1e-5, atol=1e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(E2), np.asarray(E), rtol=1e-5, atol=1e-4
+            )
+            tO_ref = tile_stats_from_R(cfg, R, layout.oh_pad)
+            np.testing.assert_allclose(
+                np.asarray(tO2), np.asarray(tO_ref), rtol=1e-5, atol=1e-4
+            )
