@@ -256,16 +256,6 @@ def run_harmony(
     Z = orient_embedding(data_mat, N, verbose=verbose)
     d = Z.shape[0]
 
-    # 'rotate' shuffle mode pre-shuffles cells once at ingest (contiguous
-    # blocks are then random subsets; see HarmonyConfig.shuffle_mode).
-    ingest_inv = None
-    if shuffle_mode == "rotate":
-        rng = np.random.default_rng(seed)
-        perm = rng.permutation(N)
-        ingest_inv = np.argsort(perm)
-        Z = Z[:, perm]
-        design = dataclasses.replace(design, codes=design.codes[:, perm])
-
     cfg = resolve_config(
         n_cells=N,
         d=d,
@@ -292,6 +282,36 @@ def run_harmony(
         cfg, estep_impl=estep_impl, mstep_impl=mstep_impl
     )
     cfg = finalize_engine_config(cfg, mesh)
+
+    # 'rotate' shuffle mode pre-shuffles cells once at ingest (contiguous
+    # blocks are then random subsets; see HarmonyConfig.shuffle_mode). On
+    # the fused single-device path the shuffle is the batch-tiled order
+    # (ops/tiled.py): random within batch, batch-pure tiles interleaved
+    # proportionally — the M-step then runs its zero-gather O(K·N·d) path.
+    ingest_inv = None
+    if shuffle_mode == "rotate":
+        from .ops.tiled import (
+            build_batch_tiled_order, count_joint_levels, tiled_mixture_ok,
+        )
+
+        if (
+            mesh is None
+            and cfg.estep_impl == "pallas"
+            and cfg.mstep_impl != "pallas"
+            and cfg.mstep_mode in ("auto", "tiled")
+            and tiled_mixture_ok(
+                cfg.Np, cfg.mstep_tile, cfg.n_blocks,
+                count_joint_levels(design.codes),
+            )
+        ):
+            perm, _ = build_batch_tiled_order(
+                design.codes, cfg.mstep_tile, seed
+            )
+        else:
+            perm = np.random.default_rng(seed).permutation(N)
+        ingest_inv = np.argsort(perm)
+        Z = Z[:, perm]
+        design = dataclasses.replace(design, codes=design.codes[:, perm])
 
     hp = expand_hyperparams(
         design, cfg.K, theta, sigma, lamb, options.tau, verbose=verbose

@@ -112,6 +112,35 @@ def run_bench(
 
     cfg = finalize_engine_config(cfg, the_mesh)
 
+    # Batch-tiled ingest order on the fused single-device path (the same
+    # choice api.run_harmony makes): the M-step then takes its zero-gather
+    # O(K·N·d) path. Synthetic cells are already random, so nothing else
+    # needs an ingest shuffle.
+    from .ops.tiled import (
+        build_batch_tiled_order, count_joint_levels, tiled_mixture_ok,
+    )
+
+    if (
+        cfg.shuffle_mode == "rotate"
+        and the_mesh is None
+        and cfg.estep_impl == "pallas"
+        and cfg.mstep_impl != "pallas"
+        and cfg.mstep_mode in ("auto", "tiled")
+        and os.environ.get("HARMONY_BENCH_TILED", "1") != "0"
+        and tiled_mixture_ok(
+            cfg.Np, cfg.mstep_tile, cfg.n_blocks,
+            count_joint_levels(design.codes),
+        )
+    ):
+        perm, _ = build_batch_tiled_order(
+            design.codes, cfg.mstep_tile, seed
+        )
+        Zt = Zt[:, perm]
+        design = dataclasses.replace(design, codes=design.codes[:, perm])
+        used_tiled = True
+    else:
+        used_tiled = False
+
     hp = expand_hyperparams(design, cfg.K, None, 0.1, 1.0, options.tau)
     key = jax.random.PRNGKey(seed)
     state = init_state(cfg, Zt, design, hp.sigma, hp.theta, hp.lamb, key)
@@ -167,7 +196,8 @@ def run_bench(
         "estep_impl": cfg.estep_impl,
         "mstep": (
             "pallas" if cfg.mstep_impl == "pallas"
-            else ("segment" if cfg.use_segments else "dense")
+            else ("tiled" if used_tiled
+                  else ("segment" if cfg.use_segments else "dense"))
         ),
         "shuffle_mode": cfg.shuffle_mode,
         "dtype": cfg.dtype,

@@ -157,10 +157,17 @@ class HarmonyConfig:
     matmul_precision: str = "float32"  # 'bfloat16'|'float32'|'highest' for dot ops
     ridge_solver: str = "auto"  # 'auto' | 'cholesky' | 'solve' | 'arrowhead'
     # M-step moment strategy: 'dense' one-hot contractions, 'segment'
-    # batch-pure tile matmuls (ops/segments.py), or 'auto' (segment at
-    # large N where the O(K N B d) dense cost dominates).
+    # batch-pure tile matmuls via gathers (ops/segments.py), 'tiled'
+    # batch-tiled ingest layout with zero-gather per-tile matmuls
+    # (ops/tiled.py; requires a batch-tiled cell order), or 'auto'
+    # (tiled when the layout allows it on the fused-kernel path, else
+    # segment at large N·B, else dense).
     mstep_mode: str = "auto"
     segment_tile: int = 1024
+    # Cell-tile width of the batch-tiled layout (ops/tiled.py). Finer than
+    # the E-step tile so each rotate block spans many batch-pure tiles and
+    # keeps a near-proportional batch mixture; must divide estep_sub_tile.
+    mstep_tile: int = 128
     # M-step contraction implementation: 'xla', or 'pallas' (single-pass
     # fused moment/correction kernels, ops/pallas_ridge.py; single-covariate
     # TPU runs only — resolved from 'auto' by finalize_engine_config).

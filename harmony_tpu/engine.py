@@ -267,13 +267,14 @@ def cluster(
 
 
 def correct(
-    cfg: HarmonyConfig, state: HarmonyState, segments=None, onehots=None
+    cfg: HarmonyConfig, state: HarmonyState, segments=None, onehots=None,
+    tiled=None,
 ) -> HarmonyState:
     """M-step: MoE ridge correction + centroid refresh (src/harmony.cpp:345-638)."""
     Z_corr, Y_new, _ = ops.moe_correct_ridge(
         cfg, state.Z_orig, state.R, state.O, state.E, state.codes,
         state.batch_sizes, state.lamb, state.Y, segments=segments,
-        onehots=onehots,
+        onehots=onehots, tiled=tiled,
     )
     return dataclasses.replace(
         state, Z_corr=Z_corr, Y=Y_new, n_rounds=state.n_rounds + 1
@@ -281,7 +282,8 @@ def correct(
 
 
 def harmony_round(
-    cfg: HarmonyConfig, state: HarmonyState, segments=None, onehots=None
+    cfg: HarmonyConfig, state: HarmonyState, segments=None, onehots=None,
+    tiled=None,
 ) -> HarmonyState:
     """One full Harmony round — cluster then correct — as a single program.
 
@@ -292,7 +294,8 @@ def harmony_round(
     canonical bench shape).
     """
     return correct(
-        cfg, cluster(cfg, state), segments=segments, onehots=onehots
+        cfg, cluster(cfg, state), segments=segments, onehots=onehots,
+        tiled=tiled,
     )
 
 
@@ -310,6 +313,7 @@ def run_rounds(
     n_max: jnp.ndarray,
     segments=None,
     onehots=None,
+    tiled=None,
 ) -> HarmonyState:
     """Up to ``n_max`` full Harmony rounds as ONE device program.
 
@@ -325,7 +329,9 @@ def run_rounds(
 
     def body(carry):
         s, i, _ = carry
-        s = harmony_round(cfg, s, segments=segments, onehots=onehots)
+        s = harmony_round(
+            cfg, s, segments=segments, onehots=onehots, tiled=tiled
+        )
         return (s, i + 1, harmony_converged(cfg, s))
 
     state, _, _ = jax.lax.while_loop(
@@ -371,7 +377,26 @@ def make_engine(cfg: HarmonyConfig, codes=None) -> Engine:
     is static per run and closed over as a jit constant."""
     segments = None
     onehots = None
-    if cfg.use_segments and codes is not None:
+    tiled = None
+    if codes is not None and cfg.mstep_impl != "pallas" and (
+        cfg.mstep_mode == "tiled"
+        or (cfg.mstep_mode == "auto" and cfg.estep_impl == "pallas")
+    ):
+        import numpy as np
+
+        from .ops.tiled import detect_tiled_layout
+
+        tiled = detect_tiled_layout(
+            np.asarray(codes), cfg.N, cfg.mstep_tile
+        )
+        if tiled is None and cfg.mstep_mode == "tiled":
+            raise ValueError(
+                "mstep_mode='tiled' requires a batch-tiled cell order "
+                "(ops.tiled.build_batch_tiled_order at ingest)"
+            )
+    if tiled is not None:
+        pass  # zero-gather batch-tiled M-step; no design constants needed
+    elif cfg.use_segments and codes is not None:
         import numpy as np
 
         from .ops.segments import build_segments
@@ -408,10 +433,10 @@ def make_engine(cfg: HarmonyConfig, codes=None) -> Engine:
         init_cluster_from=jit(init_cluster_from),
         cluster=jit(cluster, donate=donate),
         correct=jit(correct, donate=donate, segments=segments,
-                    onehots=onehots),
+                    onehots=onehots, tiled=tiled),
         round=jit(harmony_round, donate=donate, segments=segments,
-                  onehots=onehots),
+                  onehots=onehots, tiled=tiled),
         run_rounds=jit(run_rounds, donate=donate, segments=segments,
-                       onehots=onehots),
+                       onehots=onehots, tiled=tiled),
         harmony_converged=jit(harmony_converged),
     )

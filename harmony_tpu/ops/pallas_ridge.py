@@ -106,6 +106,146 @@ def pallas_moments(
     return jnp.swapaxes(M, 0, 1)  # (K, B, d1)
 
 
+def _tile_moments_kernel(R_ref, Za_ref, S_ref, *, sub: int, T: int):
+    # per-layout-tile unsegmented moments: S_t = R_t Za_t^T (batch
+    # resolution is recovered OUTSIDE from the static tile->joint table);
+    # `sub` layout tiles of width T are processed per grid step
+    for j in range(sub):
+        sl = slice(j * T, (j + 1) * T)
+        S_ref[j] = jax.lax.dot_general(
+            R_ref[:, sl], Za_ref[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+def pallas_tile_moments(
+    cfg: HarmonyConfig,
+    R: jnp.ndarray,  # (K, Np)
+    Z: jnp.ndarray,  # (d, Np) original embedding
+    tile: int,
+    interpret: bool = False,
+    grid_tile: int | None = None,
+) -> jnp.ndarray:
+    """Per-layout-tile moment blocks S (NT, K, d+1): S[t] = R_t·[Z; 1]_t^T.
+
+    One (K, T)x(T, d+1) matmul per layout tile — O(K·N·d) with no batch
+    factor; HBM traffic is one read of R and Z plus a tiny (NT, K, d+1)
+    write. The layout tile T is finer than the DMA-efficient grid tile, so
+    each grid step handles ``grid_tile // T`` layout tiles from the same
+    resident block. With a batch-tiled layout (ops/tiled.py) the per-batch
+    moments of src/harmony.cpp:561 are segment-sums of S over the static
+    tile->joint-batch table.
+    """
+    K, Np = R.shape
+    d = Z.shape[0]
+    T = tile
+    Tg = grid_tile or max(T, min(2048, cfg.estep_sub_tile))
+    Tg = max(T, (Tg // T) * T)
+    sub = Tg // T
+    NG = -(-Np // Tg)
+    Npt = NG * Tg
+    NT = Npt // T
+    f32 = jnp.float32
+    d1 = d + 1
+
+    Za = jnp.concatenate([Z.astype(f32), jnp.ones((1, Np), f32)], axis=0)
+    R_p = R.astype(f32)
+    if Npt != Np:
+        pad = Npt - Np
+        R_p = jnp.concatenate([R_p, jnp.zeros((K, pad), f32)], axis=1)
+        Za = jnp.concatenate([Za, jnp.zeros((d1, pad), f32)], axis=1)
+
+    from functools import partial as _partial
+
+    return pl.pallas_call(
+        _partial(_tile_moments_kernel, sub=sub, T=T),
+        grid=(NG,),
+        in_specs=[
+            pl.BlockSpec((K, Tg), lambda s: (0, s)),
+            pl.BlockSpec((d1, Tg), lambda s: (0, s)),
+        ],
+        out_specs=pl.BlockSpec((sub, K, d1), lambda s: (s, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((NT, K, d1), f32),
+        interpret=interpret,
+    )(R_p, Za)
+
+
+def _tiled_correction_kernel(Wt_ref, R_ref, Z_ref, Z_out_ref, *, sub, T):
+    # Wt_ref: (sub, dp, K) betas of this grid step's layout tiles (zero
+    # rows for mixed/pad tiles — their correction is applied outside)
+    d = Z_ref.shape[0]
+    for j in range(sub):
+        sl = slice(j * T, (j + 1) * T)
+        corr = jax.lax.dot_general(
+            Wt_ref[j], R_ref[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (dp, T)
+        Z_out_ref[:, sl] = Z_ref[:, sl] - corr[0:d, :]
+
+
+def pallas_tiled_correction(
+    cfg: HarmonyConfig,
+    W_tiles: jnp.ndarray,  # (NT, d, K) betas per layout tile (zeros: no-op)
+    R: jnp.ndarray,  # (K, Np)
+    Z: jnp.ndarray,  # (d, Np) original embedding
+    tile: int,
+    interpret: bool = False,
+    grid_tile: int | None = None,
+) -> jnp.ndarray:
+    """Z - W[tile]·R per batch-pure layout tile (src/harmony.cpp:613-616).
+
+    One (d, K)x(K, T) matmul per layout tile against that tile's beta
+    block (pre-gathered per tile — a few MB). Zero rows in ``W_tiles``
+    (mixed/pad tiles) leave Z unchanged; the mixed-region correction is
+    added outside.
+    """
+    K, Np = R.shape
+    d = Z.shape[0]
+    T = tile
+    Tg = grid_tile or max(T, min(2048, cfg.estep_sub_tile))
+    Tg = max(T, (Tg // T) * T)
+    sub = Tg // T
+    NG = -(-Np // Tg)
+    Npt = NG * Tg
+    NT = Npt // T
+    f32 = jnp.float32
+    dp = _sublane_pad(d)
+
+    Wp = W_tiles.astype(f32)
+    if Wp.shape[0] != NT:
+        Wp = jnp.concatenate(
+            [Wp, jnp.zeros((NT - Wp.shape[0],) + Wp.shape[1:], f32)], axis=0
+        )
+    if dp != d:
+        Wp = jnp.concatenate(
+            [Wp, jnp.zeros((NT, dp - d, K), f32)], axis=1
+        )
+    R_p = R.astype(f32)
+    Zf = Z.astype(f32)
+    if Npt != Np:
+        pad = Npt - Np
+        R_p = jnp.concatenate([R_p, jnp.zeros((K, pad), f32)], axis=1)
+        Zf = jnp.concatenate([Zf, jnp.zeros((d, pad), f32)], axis=1)
+
+    from functools import partial as _partial
+
+    Z_out = pl.pallas_call(
+        _partial(_tiled_correction_kernel, sub=sub, T=T),
+        grid=(NG,),
+        in_specs=[
+            pl.BlockSpec((sub, dp, K), lambda s: (s, 0, 0)),
+            pl.BlockSpec((K, Tg), lambda s: (0, s)),
+            pl.BlockSpec((d, Tg), lambda s: (0, s)),
+        ],
+        out_specs=pl.BlockSpec((d, Tg), lambda s: (0, s)),
+        out_shape=jax.ShapeDtypeStruct((d, Npt), f32),
+        interpret=interpret,
+    )(Wp, R_p, Zf)
+    return Z_out[:, :Np] if Npt != Np else Z_out
+
+
 def _correction_kernel(Wt_ref, R_ref, Z_ref, oh_ref, Z_out_ref, acc_s):
     B = oh_ref.shape[1]
     d = Z_ref.shape[0]

@@ -80,6 +80,7 @@ def moe_correct_ridge(
     Y_old: jnp.ndarray,  # (d, K) previous centroids
     segments=None,  # tuple[CovariateSegments] -> tiled O(K N d) moment path
     onehots=None,  # precomputed per-covariate (N, B_c) one-hot designs
+    tiled=None,  # ops.tiled.TiledCells -> batch-tiled O(K N d) moment path
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Return (Z_corr, Y_new, W) — W is (K, B+1, d) with intercept rows zeroed.
 
@@ -128,7 +129,11 @@ def moe_correct_ridge(
         # gather AND the lax.cond around it — whose identity branch still
         # costs a full copy of R per call.
         R_eff = R.astype(f32)
-        if segments is None:
+        if tiled is not None:
+            O_all, rhs_all, cross_blocks, ctx = _moments_tiled(
+                cfg, R_eff, Zf, codes, tiled
+            )
+        elif segments is None:
             O_all, rhs_all, cross_blocks, ctx = _moments_dense(
                 cfg, R_eff, Zf, codes, onehots
             )
@@ -163,7 +168,11 @@ def moe_correct_ridge(
             R,
         )  # (K, N)
 
-        if segments is None:
+        if tiled is not None:
+            O_eff, rhs_batches, cross_blocks, ctx = _moments_tiled(
+                cfg, R_eff, Zf, codes, tiled
+            )
+        elif segments is None:
             O_eff, rhs_batches, cross_blocks, ctx = _moments_dense(
                 cfg, R_eff, Zf, codes, onehots
             )
@@ -238,6 +247,11 @@ def moe_correct_ridge(
             cfg, W[:, 1:, :], R, Zf, oh_full, interpret=interp
         ).astype(Z_orig.dtype)
         return Z_corr, Y_new, W
+    if tiled is not None:
+        Z_corr = _correction_tiled(cfg, W, R_eff, Zf, ctx, tiled).astype(
+            Z_orig.dtype
+        )
+        return Z_corr, Y_new, W
     if segments is None:
         corr = _correction_dense(cfg, W, R_eff, ctx)
     else:
@@ -297,6 +311,139 @@ def _correction_dense(cfg, W, R_eff, onehots):
         )
         corr = t if corr is None else corr + t
     return corr
+
+
+def _moments_tiled(cfg, R_eff, Zf, codes, tiled):
+    """Batch-tiled moments: O(K·N·d), streaming layouts (see ops/tiled.py).
+
+    One unsegmented (K, T)x(T, d+1) matmul per cell tile (Pallas), then
+    tiny segment-sums over the static tile->joint-batch table recover the
+    per-batch blocks. The trailing mixed region (< n_joint·T cells of
+    group remainders + pads) goes through the dense one-hot path.
+    """
+    import jax as _jax
+
+    from .pallas_ridge import pallas_tile_moments
+
+    f32 = jnp.float32
+    K = cfg.K
+    interp = _jax.default_backend() == "cpu"
+    S = pallas_tile_moments(cfg, R_eff, Zf, tiled.tile, interpret=interp)
+    NT_pure = len(tiled.tile_joint)
+    n_joint = tiled.joint_codes.shape[1]
+    seg = jax.ops.segment_sum(
+        S[:NT_pure], jnp.asarray(tiled.tile_joint), num_segments=n_joint
+    )  # (n_joint, K, d+1)
+
+    # trailing mixed region: group remainders + pad cells (inert, R == 0)
+    n_pure = tiled.n_pure
+    Np = R_eff.shape[1]
+    tail = Np - n_pure
+    if tail:
+        R_t = R_eff[:, n_pure:]
+        Za_t = jnp.concatenate(
+            [Zf[:, n_pure:], jnp.ones((1, tail), f32)], axis=0
+        )
+        tail_oh = [
+            jax.nn.one_hot(codes[c][n_pure:], cfg.B_vec[c], dtype=f32)
+            for c in range(cfg.n_covariates)
+        ]
+        tail_M = [
+            jnp.einsum(
+                "kn,nb,dn->kbd", R_t, oh, Za_t, preferred_element_type=f32
+            )
+            for oh in tail_oh
+        ]
+    else:
+        R_t, tail_oh, tail_M = None, None, None
+
+    O_parts, rhs_parts = [], []
+    for c in range(cfg.n_covariates):
+        jc = jnp.asarray(tiled.joint_codes[c])
+        Mc = jnp.swapaxes(
+            jax.ops.segment_sum(seg, jc, num_segments=cfg.B_vec[c]), 0, 1
+        )  # (K, B_c, d+1)
+        if tail:
+            Mc = Mc + tail_M[c]
+        O_parts.append(Mc[:, :, -1])
+        rhs_parts.append(Mc[:, :, :-1])
+    O_eff = jnp.concatenate(O_parts, axis=1)
+    rhs_batches = jnp.concatenate(rhs_parts, axis=1)
+
+    cross_blocks = {}
+    for c1 in range(cfg.n_covariates):
+        for c2 in range(c1 + 1, cfg.n_covariates):
+            b1, b2 = cfg.B_vec[c1], cfg.B_vec[c2]
+            jidx = jnp.asarray(
+                tiled.joint_codes[c1] * b2 + tiled.joint_codes[c2]
+            )
+            cross = jax.ops.segment_sum(
+                seg[:, :, -1], jidx, num_segments=b1 * b2
+            )  # (b1*b2, K)
+            cross = jnp.swapaxes(cross, 0, 1).reshape(K, b1, b2)
+            if tail:
+                joint_t = codes[c1][n_pure:] * b2 + codes[c2][n_pure:]
+                ohj = jax.nn.one_hot(joint_t, b1 * b2, dtype=f32)
+                cross = cross + jnp.dot(
+                    R_t, ohj, preferred_element_type=f32
+                ).reshape(K, b1, b2)
+            cross_blocks[(c1, c2)] = cross
+    return O_eff, rhs_batches, cross_blocks, (R_t, tail_oh)
+
+
+def _correction_tiled(cfg, W, R_eff, Zf, ctx, tiled):
+    """Batch-tiled correction: one (d, K)x(K, T) matmul per pure tile
+    (Pallas, betas fetched by the static tile->joint table), dense on the
+    trailing mixed region. Returns Z_corr directly."""
+    import jax as _jax
+
+    from .pallas_ridge import pallas_tiled_correction
+
+    f32 = jnp.float32
+    interp = _jax.default_backend() == "cpu"
+    n_joint = tiled.joint_codes.shape[1]
+    NT_pure = len(tiled.tile_joint)
+
+    # per-joint betas: sum of each covariate's beta block at that joint's
+    # level (a cell's correction is the sum over covariates,
+    # src/harmony.cpp:613-616 via the stacked design)
+    W_joint = None
+    for c in range(cfg.n_covariates):
+        o = cfg.covariate_offsets[c]
+        Wc = jnp.take(
+            W[:, 1 + o : 1 + o + cfg.B_vec[c], :],
+            jnp.asarray(tiled.joint_codes[c]),
+            axis=1,
+        )  # (K, n_joint, d)
+        W_joint = Wc if W_joint is None else W_joint + Wc
+    W_joint = jnp.transpose(W_joint, (1, 2, 0)).astype(f32)  # (n_joint, d, K)
+    W_joint = jnp.concatenate(
+        [W_joint, jnp.zeros((1,) + W_joint.shape[1:], f32)], axis=0
+    )
+
+    Np = R_eff.shape[1]
+    NT = -(-Np // tiled.tile)
+    tile_w = jnp.asarray(
+        list(tiled.tile_joint) + [n_joint] * (NT - NT_pure), dtype=jnp.int32
+    )
+    W_tiles = jnp.take(W_joint, tile_w, axis=0)  # (NT, d, K), a few MB
+    Z_corr = pallas_tiled_correction(
+        cfg, W_tiles, R_eff, Zf, tiled.tile, interpret=interp
+    )
+
+    tail = Np - tiled.n_pure
+    if tail:
+        R_t, tail_oh = ctx
+        corr_t = None
+        for c, oh in enumerate(tail_oh):
+            o = cfg.covariate_offsets[c]
+            Wc = W[:, 1 + o : 1 + o + cfg.B_vec[c], :]
+            t = jnp.einsum(
+                "kn,nb,kbd->dn", R_t, oh, Wc, preferred_element_type=f32
+            )
+            corr_t = t if corr_t is None else corr_t + t
+        Z_corr = Z_corr.at[:, tiled.n_pure :].add(-corr_t)
+    return Z_corr
 
 
 def _pad1(X):
