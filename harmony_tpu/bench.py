@@ -82,7 +82,10 @@ def run_bench(
     Zt = orient_embedding(Z, n_cells)
     cfg = resolve_config(
         n_cells=n_cells, d=d, design=design, nclust=nclust,
-        max_iter=max_iter, early_stop=False, options=options, verbose=False,
+        # +5: trace capacity for the warm-up and calibration rounds of the
+        # two-point measurement below
+        max_iter=max_iter + 5, early_stop=False, options=options,
+        verbose=False,
     )
     import dataclasses
 
@@ -169,14 +172,22 @@ def run_bench(
     sync(warm)
     compile_and_first = time.perf_counter() - t0
 
-    # Timed rounds (continue from the warmed state so convergence state is
-    # realistic; early_stop disabled above so rounds don't vanish).
+    # Two-point measurement: time (dispatch + 2 rounds + sync) and
+    # (dispatch + 2 + max_iter rounds + sync); the difference is pure
+    # round compute. Through a remote-dispatch tunnel the host fetch in
+    # sync() costs tens of ms of RPC latency — a single-run measurement
+    # would smear that constant into the per-iteration figure.
     t0 = time.perf_counter()
-    state = engine.run_rounds(warm, jnp.int32(max_iter))
+    state = engine.run_rounds(warm, jnp.int32(2))
     sync(state)
-    elapsed = time.perf_counter() - t0
+    t_small = time.perf_counter() - t0
 
-    per_iter = elapsed / max_iter
+    t0 = time.perf_counter()
+    state = engine.run_rounds(state, jnp.int32(2 + max_iter))
+    sync(state)
+    t_big = time.perf_counter() - t0
+
+    per_iter = (t_big - t_small) / max_iter
     cells_per_sec = n_cells / per_iter
     # without a mesh the computation runs on the single default device
     n_devices = the_mesh.size if the_mesh is not None else 1

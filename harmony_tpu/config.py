@@ -167,7 +167,7 @@ class HarmonyConfig:
     # Cell-tile width of the batch-tiled layout (ops/tiled.py). Finer than
     # the E-step tile so each rotate block spans many batch-pure tiles and
     # keeps a near-proportional batch mixture; must divide estep_sub_tile.
-    mstep_tile: int = 128
+    mstep_tile: int = 256
     # M-step contraction implementation: 'xla', or 'pallas' (single-pass
     # fused moment/correction kernels, ops/pallas_ridge.py; single-covariate
     # TPU runs only — resolved from 'auto' by finalize_engine_config).

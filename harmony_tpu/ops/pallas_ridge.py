@@ -106,17 +106,22 @@ def pallas_moments(
     return jnp.swapaxes(M, 0, 1)  # (K, B, d1)
 
 
-def _tile_moments_kernel(R_ref, Za_ref, S_ref, *, sub: int, T: int):
-    # per-layout-tile unsegmented moments: S_t = R_t Za_t^T (batch
-    # resolution is recovered OUTSIDE from the static tile->joint table);
-    # `sub` layout tiles of width T are processed per grid step
+def _tile_moments_kernel(R_ref, Z_ref, S_ref, *, sub: int, T: int):
+    # per-layout-tile unsegmented moments: S_t = [R_t Z_t^T | R_t 1]
+    # (batch resolution is recovered OUTSIDE from the static tile->joint
+    # table); `sub` layout tiles of width T are processed per grid step.
+    # The ones component is a row-sum, not a matmul — Z needs no
+    # augmented copy in HBM.
+    d = Z_ref.shape[0]
     for j in range(sub):
         sl = slice(j * T, (j + 1) * T)
-        S_ref[j] = jax.lax.dot_general(
-            R_ref[:, sl], Za_ref[:, sl],
+        R_t = R_ref[:, sl]
+        S_ref[j, :, 0:d] = jax.lax.dot_general(
+            R_t, Z_ref[:, sl],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        S_ref[j, :, d] = jnp.sum(R_t, axis=1)
 
 
 def pallas_tile_moments(
@@ -149,12 +154,12 @@ def pallas_tile_moments(
     f32 = jnp.float32
     d1 = d + 1
 
-    Za = jnp.concatenate([Z.astype(f32), jnp.ones((1, Np), f32)], axis=0)
+    Zf = Z.astype(f32)
     R_p = R.astype(f32)
     if Npt != Np:
         pad = Npt - Np
         R_p = jnp.concatenate([R_p, jnp.zeros((K, pad), f32)], axis=1)
-        Za = jnp.concatenate([Za, jnp.zeros((d1, pad), f32)], axis=1)
+        Zf = jnp.concatenate([Zf, jnp.zeros((d, pad), f32)], axis=1)
 
     from functools import partial as _partial
 
@@ -163,12 +168,12 @@ def pallas_tile_moments(
         grid=(NG,),
         in_specs=[
             pl.BlockSpec((K, Tg), lambda s: (0, s)),
-            pl.BlockSpec((d1, Tg), lambda s: (0, s)),
+            pl.BlockSpec((d, Tg), lambda s: (0, s)),
         ],
         out_specs=pl.BlockSpec((sub, K, d1), lambda s: (s, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((NT, K, d1), f32),
         interpret=interpret,
-    )(R_p, Za)
+    )(R_p, Zf)
 
 
 def _tiled_correction_kernel(Wt_ref, R_ref, Z_ref, Z_out_ref, *, sub, T):

@@ -361,11 +361,13 @@ def _round_kernel_v2(
     E_s,  # (K, B)
     O_s,  # (K, B)
     pen_s,  # (K, B)
+    logpen_s,  # (K, B)
     rpend_s,  # (K, 1)
     Opend_s,  # (K, B)
     accv_s,  # (1, 2) SMEM
     *,
     b0: int,  # levels of covariate 0 (intercept row-sum slice)
+    cheap_entropy: bool,  # single covariate: factorised sigma*R*logR
 ):
     s = pl.program_id(0)
     n_steps = pl.num_programs(0)
@@ -389,7 +391,11 @@ def _round_kernel_v2(
         E_s[:] = E_s[:] - rb * Pr_ref[0, :][None, :]
         O_s[:] = O_s[:] - Ob
         E, O = E_s[:], O_s[:]
-        pen_s[:] = ((2.0 * E + 1.0) / (O + E + 1.0)) ** theta_ref[0, :][None, :]
+        ratio = (2.0 * E + 1.0) / (O + E + 1.0)
+        pen_s[:] = ratio ** theta_ref[0, :][None, :]
+        # only the entropy accumulator consumes the log; for valid states
+        # ratio > 0 (E, O are non-negative cell sums)
+        logpen_s[:] = jnp.log(ratio) * theta_ref[0, :][None, :]
         rpend_s[:] = jnp.zeros_like(rpend_s)
         Opend_s[:] = jnp.zeros_like(Opend_s)
 
@@ -401,20 +407,38 @@ def _round_kernel_v2(
     g = jnp.dot(Yt_ref[:], Z_t, preferred_element_type=jnp.float32)
     d_t = 2.0 * (1.0 - g)
     R_n = jnp.exp(-d_t / sigma_ref[:])
-    R_n = R_n / jnp.sum(R_n, axis=0, keepdims=True)
+    colsum1 = jnp.sum(R_n, axis=0, keepdims=True)
+    R_n = R_n / colsum1
     pc = jnp.dot(pen_s[:], oh_t.T, preferred_element_type=jnp.float32)
     R_n = R_n * pc
     colsum = jnp.sum(R_n, axis=0, keepdims=True)
-    R_n = R_n / jnp.where(colsum == 0.0, 1.0, colsum)
+    colsum_g = jnp.where(colsum == 0.0, 1.0, colsum)
+    R_n = R_n / colsum_g
 
     # per-tile stats: this IS the add-back bookkeeping AND the next round's
     # block-old source
     tO = jnp.dot(R_n, oh_t, preferred_element_type=jnp.float32)  # (K, B)
     rpend_s[:] = rpend_s[:] + jnp.sum(tO[:, :b0], axis=1, keepdims=True)
     Opend_s[:] = Opend_s[:] + tO
-    xlogx = jnp.where(R_n > 0, R_n * jnp.log(R_n), 0.0)
-    accv_s[0, 0] = accv_s[0, 0] + jnp.sum(R_n * d_t)
-    accv_s[0, 1] = accv_s[0, 1] + jnp.sum(sigma_ref[:] * xlogx)
+    s_rd = jnp.sum(R_n * d_t)
+    accv_s[0, 0] = accv_s[0, 0] + s_rd
+    if cheap_entropy:
+        # sigma_k R log R factorised: log R = -d/sigma + logpen[b] -
+        # log(colsum1*colsum2). The first term contracts to -R*d; the
+        # penalty term contracts against the per-tile stats tO (one
+        # K x B product); only the two column sums need logs (2T
+        # transcendentals instead of K*T). Exact for one covariate,
+        # where pc is a gather of pen columns.
+        sR = jnp.sum(sigma_ref[:] * R_n, axis=0, keepdims=True)  # (1, T)
+        ent_t = (
+            -s_rd
+            - jnp.sum(jnp.log(colsum1 * colsum_g) * sR)
+            + jnp.sum(sigma_ref[:] * tO * logpen_s[:])
+        )
+        accv_s[0, 1] = accv_s[0, 1] + ent_t
+    else:
+        xlogx = jnp.where(R_n > 0, R_n * jnp.log(R_n), 0.0)
+        accv_s[0, 1] = accv_s[0, 1] + jnp.sum(sigma_ref[:] * xlogx)
 
     R_out_ref[:] = R_n
     tO_out_ref[0] = tO
@@ -486,13 +510,17 @@ def pallas_rotate_update_round_v2(
             pltpu.VMEM((K, B), f32),  # E_s
             pltpu.VMEM((K, B), f32),  # O_s
             pltpu.VMEM((K, B), f32),  # pen_s
+            pltpu.VMEM((K, B), f32),  # logpen_s
             pltpu.VMEM((K, 1), f32),  # rpend
             pltpu.VMEM((K, B), f32),  # Opend
             pltpu.SMEM((1, 2), f32),  # accv
         ],
     )
     kernel = pl.pallas_call(
-        _partial(_round_kernel_v2, b0=cfg.B_vec[0]),
+        _partial(
+            _round_kernel_v2, b0=cfg.B_vec[0],
+            cheap_entropy=cfg.n_covariates == 1,
+        ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((K, Npt), f32),

@@ -179,7 +179,7 @@ def test_engine_tiled_mstep_end_to_end():
         early_stop=False, options=options, verbose=False,
     )
     cfg = dataclasses.replace(
-        cfg, shuffle_mode="rotate", estep_sub_tile=128
+        cfg, shuffle_mode="rotate", estep_sub_tile=128, mstep_tile=128
     )
     perm, _ = build_batch_tiled_order(design.codes, 128, seed=0)
     Zt = orient_embedding(Z, N)[:, perm]
