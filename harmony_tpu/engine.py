@@ -169,36 +169,34 @@ def cluster(
     # rotate schedule's padded layout once, outside the round loop.
     if use_stats_carry:
         from .ops.pallas_rotate import (
-            RoundState, make_tile_layout, pallas_rotate_update_round_v2,
-            pallas_reassign, tile_stats_from_R,
+            RoundState, TileLayout, make_oh_pad, pad_cells_to_tile,
+            pallas_rotate_update_round_v2, pallas_reassign,
         )
 
-        # Re-entry + seed, fused: one kernel recomputes R/E/O from the
-        # centroids AND emits the per-tile stats (no separate read of R).
-        # Normalising is idempotent, so it runs unconditionally (init
-        # already normalised Z_corr on the first entry).
-        Zn = l2_normalize_columns(state.Z_corr)
-        state = dataclasses.replace(state, Z_corr=Zn)
-        rotate_layout = make_tile_layout(cfg, Zn, state.codes)
-
-        def _reentry(s):
-            R, tO, O, E = pallas_reassign(
-                cfg, s.Y, s.sigma, s.Pr_b, rotate_layout,
-                interpret=interpret,
-            )
-            s = dataclasses.replace(
-                s, R=R.astype(s.R.dtype), E=E.astype(s.E.dtype),
-                O=O.astype(s.O.dtype),
-            )
-            return s, tO
-
-        def _first(s):
-            # first entry after init: R/E/O are current, only seed stats
-            return s, tile_stats_from_R(cfg, s.R, rotate_layout.oh_pad)
-
-        state, tile_O0 = jax.lax.cond(
-            state.n_harmony != 1, _reentry, _first, state
+        # Re-entry + seed, fused: one kernel pass over Z normalises it,
+        # recomputes the E/O stats from the centroids and emits the
+        # per-tile stat table. The stats-carrying round kernel never reads
+        # R (block-old stats come from the tile table), so the re-entry
+        # skips the (K, N) R write entirely — round 0 rewrites R in full.
+        # Unlike the XLA path there is no first-entry branch: right after
+        # init, R/E/O were themselves computed from (Y, Z_corr), so
+        # re-deriving them here is a numerical no-op, and branch-free code
+        # spares a lax.cond passthrough copy of Z.
+        oh_pad = make_oh_pad(cfg, state.codes)
+        Z_raw = pad_cells_to_tile(cfg, state.Z_corr).astype(jnp.float32)
+        Zn_pad, tile_O0, O, E = pallas_reassign(
+            cfg, state.Y, state.sigma, state.Pr_b, Z_raw, oh_pad,
+            interpret=interpret,
         )
+        state = dataclasses.replace(
+            state,
+            Z_corr=(
+                Zn_pad[:, : cfg.Np] if Zn_pad.shape[1] != cfg.Np else Zn_pad
+            ).astype(state.Z_corr.dtype),
+            O=O.astype(state.O.dtype),
+            E=E.astype(state.E.dtype),
+        )
+        rotate_layout = TileLayout(Z_pad=Zn_pad, oh_pad=oh_pad)
     elif use_pallas_rotate:
         from .ops.pallas_rotate import (
             make_tile_layout, pallas_rotate_update_round,

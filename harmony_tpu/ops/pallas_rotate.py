@@ -62,9 +62,8 @@ class TileLayout(NamedTuple):
     oh_pad: jnp.ndarray  # (NT*T, B) one-hot design; pad/invalid rows zero
 
 
-def make_tile_layout(
-    cfg: HarmonyConfig, Z: jnp.ndarray, codes: jnp.ndarray
-) -> TileLayout:
+def make_oh_pad(cfg: HarmonyConfig, codes: jnp.ndarray) -> jnp.ndarray:
+    """(Npt, B) one-hot design, pad/invalid rows zero (tile-aligned)."""
     T = cfg.estep_sub_tile
     Np = cfg.Np
     Npt = -(-Np // T) * T
@@ -76,13 +75,33 @@ def make_tile_layout(
         oh = oh + (
             (codes[c][:, None] + off == b_ids) & valid[:, None]
         ).astype(f32)
-    pad = Npt - Np
-    if pad:
-        oh = jnp.concatenate([oh, jnp.zeros((pad, cfg.B), f32)], axis=0)
-        Z = jnp.concatenate(
-            [Z, jnp.zeros((Z.shape[0], pad), Z.dtype)], axis=1
+    if Npt != Np:
+        oh = jnp.concatenate(
+            [oh, jnp.zeros((Npt - Np, cfg.B), f32)], axis=0
         )
-    return TileLayout(Z_pad=Z.astype(f32), oh_pad=oh)
+    return oh
+
+
+def pad_cells_to_tile(cfg: HarmonyConfig, Z: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad the cell axis to the tile-aligned width (no-op when the
+    production config already aligned ``N_pad``)."""
+    T = cfg.estep_sub_tile
+    Np = cfg.Np
+    Npt = -(-Np // T) * T
+    if Npt != Np:
+        Z = jnp.concatenate(
+            [Z, jnp.zeros((Z.shape[0], Npt - Np), Z.dtype)], axis=1
+        )
+    return Z
+
+
+def make_tile_layout(
+    cfg: HarmonyConfig, Z: jnp.ndarray, codes: jnp.ndarray
+) -> TileLayout:
+    return TileLayout(
+        Z_pad=pad_cells_to_tile(cfg, Z).astype(jnp.float32),
+        oh_pad=make_oh_pad(cfg, codes),
+    )
 
 
 def _round_kernel(
@@ -556,11 +575,11 @@ def pallas_rotate_update_round_v2(
 def _reassign_kernel(
     # inputs
     Yt_ref,  # (K, d)
-    Z_ref,  # (d, T) tile s
+    Z_ref,  # (d, T) tile s — RAW (un-normalised) corrected embedding
     oh_ref,  # (T, B) tile s
     sigma_ref,  # (K, 1)
     # outputs
-    R_out_ref,  # (K, T) tile s
+    Zn_out_ref,  # (d, T) tile s — L2-normalised columns
     tO_out_ref,  # (1, K, B) tile s
     O_out_ref,  # (K, B)
     # scratch
@@ -575,7 +594,13 @@ def _reassign_kernel(
     def _():
         O_s[:] = jnp.zeros_like(O_s)
 
+    # column normalise in VMEM (src/harmony.cpp:220; zero columns — pads —
+    # stay zero, matching arma::normalise)
     Z_t = Z_ref[:]  # (d, T)
+    nrm = jnp.sqrt(jnp.sum(Z_t * Z_t, axis=0, keepdims=True))
+    Z_t = Z_t / jnp.where(nrm == 0.0, 1.0, nrm)
+    Zn_out_ref[:] = Z_t
+
     oh_t = oh_ref[:]  # (T, B)
     g = jnp.dot(Yt_ref[:], Z_t, preferred_element_type=jnp.float32)
     d_t = 2.0 * (1.0 - g)
@@ -589,7 +614,6 @@ def _reassign_kernel(
 
     tO = jnp.dot(R_n, oh_t, preferred_element_type=jnp.float32)  # (K, B)
     O_s[:] = O_s[:] + tO
-    R_out_ref[:] = R_n
     tO_out_ref[0] = tO
 
     @pl.when(s == n_steps - 1)
@@ -602,24 +626,27 @@ def pallas_reassign(
     Y: jnp.ndarray,  # (d, K)
     sigma: jnp.ndarray,  # (K,)
     Pr_b: jnp.ndarray,  # (B,)
-    layout: TileLayout,
+    Z_raw: jnp.ndarray,  # (d, Npt) un-normalised corrected embedding, padded
+    oh_pad: jnp.ndarray,  # (Npt, B)
     interpret: bool = False,
 ):
-    """Fused re-entry re-assignment + tile-stat seed (one Z read, one R write).
+    """Fused re-entry: normalise + re-assign + tile-stat seed, one Z pass.
 
-    Computes R = L1norm(exp(-2(1 - Y^T Z)/sigma)), O = R Phi^T and
-    E = rowsums(R) Pr_b^T from the current centroids — the re-entry
-    re-estimation of src/harmony.cpp:220-227 — while also emitting the
-    (NT, K, B) per-tile O table that seeds the stats-carrying round kernel,
-    replacing the separate ``tile_stats_from_R`` pass (which costs a full
-    extra HBM read of R plus a layout change).
+    The re-entry re-estimation of src/harmony.cpp:220-227 computes
+    R = L1norm(exp(-2(1 - Y^T Z/|Z|)/sigma)) and the E/O stats. The
+    stats-carrying round kernel never *reads* R — each round rebuilds every
+    block's assignments from (Y, Z) and recovers block-old stats from the
+    carried (NT, K, B) tile table — so this kernel skips the (K, N) R
+    write entirely and emits only the normalised embedding (consumed as
+    the phase's tile layout AND the new Z_corr), the tile table, and O;
+    E = rowsums·Pr_b^T falls out of O's covariate-0 block.
     """
     K = cfg.K
-    d = layout.Z_pad.shape[0]
+    d = Z_raw.shape[0]
     B = cfg.B
     T = cfg.estep_sub_tile
     f32 = jnp.float32
-    Npt = layout.Z_pad.shape[1]
+    Npt = Z_raw.shape[1]
     NT = Npt // T
 
     from functools import partial as _partial
@@ -629,36 +656,34 @@ def pallas_reassign(
         grid=(NT,),
         in_specs=[
             pl.BlockSpec((K, d), lambda s: (0, 0)),  # Y^T
-            pl.BlockSpec((d, T), lambda s: (0, s)),  # Z
+            pl.BlockSpec((d, T), lambda s: (0, s)),  # Z raw
             pl.BlockSpec((T, B), lambda s: (s, 0)),  # oh
             pl.BlockSpec((K, 1), lambda s: (0, 0)),  # sigma
         ],
         out_specs=[
-            pl.BlockSpec((K, T), lambda s: (0, s)),  # R
+            pl.BlockSpec((d, T), lambda s: (0, s)),  # Z normalised
             pl.BlockSpec((1, K, B), lambda s: (s, 0, 0)),  # tile_O
             pl.BlockSpec((K, B), lambda s: (0, 0)),  # O
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((K, Npt), f32),
+            jax.ShapeDtypeStruct((d, Npt), f32),
             jax.ShapeDtypeStruct((NT, K, B), f32),
             jax.ShapeDtypeStruct((K, B), f32),
         ],
         scratch_shapes=[pltpu.VMEM((K, B), f32)],
         interpret=interpret,
     )
-    R_new, tile_O, O = kernel(
+    Zn, tile_O, O = kernel(
         Y.T.astype(f32),
-        layout.Z_pad,
-        layout.oh_pad,
+        Z_raw.astype(f32),
+        oh_pad,
         sigma.astype(f32)[:, None],
     )
-    if Npt != cfg.Np:
-        R_new = R_new[:, : cfg.Np]
     # E = rowsums(R) Pr_b^T (src/harmony.cpp:226); rowsums fall out of the
     # covariate-0 block of O (every valid cell carries exactly one level)
     rsum = jnp.sum(O[:, : cfg.B_vec[0]], axis=1)
     E = rsum[:, None] * Pr_b.astype(f32)[None, :]
-    return R_new, tile_O, O, E
+    return Zn, tile_O, O, E
 
 
 def pallas_rotate_update_round(

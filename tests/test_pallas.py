@@ -502,16 +502,19 @@ class TestPallasReassign:
             cfg = dataclasses.replace(cfg, estep_sub_tile=128)
             layout = make_tile_layout(cfg, Z, codes)
 
-            R2, tO2, O2, E2 = jax.jit(
+            # feed an UN-normalised embedding: the kernel must normalise
+            # (the fixture's Z/R were computed from the normalised one)
+            Zn2, tO2, O2, E2 = jax.jit(
                 lambda Y, sigma, Pr_b: pallas_reassign(
-                    cfg, Y, sigma, Pr_b, layout, interpret=True
+                    cfg, Y, sigma, Pr_b, 2.5 * layout.Z_pad,
+                    layout.oh_pad, interpret=True,
                 )
             )(Y, sigma, Pr_b)
 
             # XLA reference: the _problem fixture already computed R/E/O
             # exactly the re-entry way (initial_assignments + stats)
             np.testing.assert_allclose(
-                np.asarray(R2), np.asarray(R), atol=1e-5
+                np.asarray(Zn2), np.asarray(layout.Z_pad), atol=1e-6
             )
             np.testing.assert_allclose(
                 np.asarray(O2), np.asarray(O), rtol=1e-5, atol=1e-4
