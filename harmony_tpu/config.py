@@ -177,7 +177,7 @@ class HarmonyConfig:
     # ops/pallas_estep.py for the permute layout), or 'auto' (pallas for
     # single-device rotate runs on TPU — resolved by finalize_engine_config).
     estep_impl: str = "xla"
-    estep_sub_tile: int = 2048
+    estep_sub_tile: int = 4096
     # Pallas rotate rounds carry per-tile O statistics between rounds so a
     # round never re-reads R from HBM (ops/pallas_rotate.py v2); False falls
     # back to the two-phase kernel that recovers block stats by streaming R.
@@ -338,6 +338,11 @@ def finalize_engine_config(cfg: HarmonyConfig, mesh=None) -> HarmonyConfig:
         # (keeps the stochastic block schedule faithful at small N; no-op
         # at the production shapes where Np/n_blocks >> estep_sub_tile).
         T = cfg.estep_sub_tile
+        # VMEM budget: the round kernel holds ~2 double-buffered copies of
+        # the (d+B+K) x T tile working set; shrink T so it stays well
+        # under a v5e core's 16 MB (large-K runs).
+        while T > 512 and 8 * T * (cfg.K + cfg.d + cfg.B) > 12 * 2**20:
+            T //= 2
         per_block = max(cfg.Np // max(cfg.n_blocks, 1), 1)
         fit = 128
         while fit * 2 <= per_block:

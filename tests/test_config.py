@@ -204,5 +204,5 @@ class TestFinalizeEngineTileSizing:
         from harmony_tpu.config import finalize_engine_config
 
         cfg = finalize_engine_config(self._cfg(500_000, estep_impl="pallas"))
-        assert cfg.estep_sub_tile == 2048
-        assert cfg.Np % 2048 == 0
+        assert cfg.estep_sub_tile == 4096
+        assert cfg.Np % 4096 == 0
