@@ -106,22 +106,38 @@ def pallas_moments(
     return jnp.swapaxes(M, 0, 1)  # (K, B, d1)
 
 
-def _tile_moments_kernel(R_ref, Z_ref, S_ref, *, sub: int, T: int):
-    # per-layout-tile unsegmented moments: S_t = [R_t Z_t^T | R_t 1]
-    # (batch resolution is recovered OUTSIDE from the static tile->joint
-    # table); `sub` layout tiles of width T are processed per grid step.
-    # The ones component is a row-sum, not a matmul — Z needs no
+def _tile_moments_kernel(
+    tj_ref, R_ref, Z_ref, M_ref, Macc_s, *, sub: int, T: int
+):
+    # per-layout-tile unsegmented moments S_t = [R_t Z_t^T | R_t 1],
+    # accumulated in VMEM directly into the tile's joint-batch slot (the
+    # static tile->joint table rides scalar prefetch, so per-batch moments
+    # never round-trip HBM; mixed/pad tiles land in the trailing trash
+    # slot). The ones component is a row-sum, not a matmul — Z needs no
     # augmented copy in HBM.
+    s = pl.program_id(0)
+    NG = pl.num_programs(0)
     d = Z_ref.shape[0]
+
+    @pl.when(s == 0)
+    def _():
+        Macc_s[...] = jnp.zeros_like(Macc_s)
+
     for j in range(sub):
         sl = slice(j * T, (j + 1) * T)
         R_t = R_ref[:, sl]
-        S_ref[j, :, 0:d] = jax.lax.dot_general(
+        S = jax.lax.dot_general(
             R_t, Z_ref[:, sl],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        S_ref[j, :, d] = jnp.sum(R_t, axis=1)
+        )  # (K, d)
+        S = jnp.concatenate([S, jnp.sum(R_t, axis=1)[:, None]], axis=1)
+        jid = tj_ref[s * sub + j]
+        Macc_s[pl.ds(jid, 1)] = Macc_s[pl.ds(jid, 1)] + S[None]
+
+    @pl.when(s == NG - 1)
+    def _():
+        M_ref[...] = Macc_s[...]
 
 
 def pallas_tile_moments(
@@ -129,23 +145,26 @@ def pallas_tile_moments(
     R: jnp.ndarray,  # (K, Np)
     Z: jnp.ndarray,  # (d, Np) original embedding
     tile: int,
+    tile_joint: jnp.ndarray,  # (NT_pure,) int32 joint id per pure tile
+    n_joint: int,
     interpret: bool = False,
     grid_tile: int | None = None,
 ) -> jnp.ndarray:
-    """Per-layout-tile moment blocks S (NT, K, d+1): S[t] = R_t·[Z; 1]_t^T.
+    """Joint-batch moments M (n_joint + 1, K, d+1) in one streaming pass.
 
-    One (K, T)x(T, d+1) matmul per layout tile — O(K·N·d) with no batch
-    factor; HBM traffic is one read of R and Z plus a tiny (NT, K, d+1)
-    write. The layout tile T is finer than the DMA-efficient grid tile, so
-    each grid step handles ``grid_tile // T`` layout tiles from the same
-    resident block. With a batch-tiled layout (ops/tiled.py) the per-batch
-    moments of src/harmony.cpp:561 are segment-sums of S over the static
-    tile->joint-batch table.
+    M[j] = Σ_{tiles of joint j} R_t·[Z; 1]_t^T — one (K, T)x(T, d+1)
+    matmul per batch-pure layout tile, O(K·N·d) with no batch factor,
+    accumulated in VMEM by the static tile->joint table (scalar
+    prefetch). HBM traffic is exactly one read of R and Z plus the tiny
+    (n_joint+1, K, d+1) result; the trailing row collects mixed/pad
+    tiles and is discarded by the caller (their cells go through the
+    dense path). Replaces both the per-tile HBM table — O(N/T · K · d),
+    hundreds of MB at 5M cells — and the XLA segment-sum over it.
     """
     K, Np = R.shape
     d = Z.shape[0]
     T = tile
-    Tg = grid_tile or max(T, min(2048, cfg.estep_sub_tile))
+    Tg = grid_tile or max(T, min(4096, cfg.estep_sub_tile))
     Tg = max(T, (Tg // T) * T)
     sub = Tg // T
     NG = -(-Np // Tg)
@@ -161,29 +180,51 @@ def pallas_tile_moments(
         R_p = jnp.concatenate([R_p, jnp.zeros((K, pad), f32)], axis=1)
         Zf = jnp.concatenate([Zf, jnp.zeros((d, pad), f32)], axis=1)
 
+    NT_pure = tile_joint.shape[0]
+    tj = jnp.concatenate(
+        [
+            tile_joint.astype(jnp.int32),
+            jnp.full((NT - NT_pure,), n_joint, jnp.int32),
+        ]
+    )
+
     from functools import partial as _partial
 
-    return pl.pallas_call(
-        _partial(_tile_moments_kernel, sub=sub, T=T),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(NG,),
         in_specs=[
-            pl.BlockSpec((K, Tg), lambda s: (0, s)),
-            pl.BlockSpec((d, Tg), lambda s: (0, s)),
+            pl.BlockSpec((K, Tg), lambda s, tj: (0, s)),
+            pl.BlockSpec((d, Tg), lambda s, tj: (0, s)),
         ],
-        out_specs=pl.BlockSpec((sub, K, d1), lambda s: (s, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((NT, K, d1), f32),
+        out_specs=pl.BlockSpec(
+            (n_joint + 1, K, d1), lambda s, tj: (0, 0, 0)
+        ),
+        scratch_shapes=[pltpu.VMEM((n_joint + 1, K, d1), f32)],
+    )
+    return pl.pallas_call(
+        _partial(_tile_moments_kernel, sub=sub, T=T),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_joint + 1, K, d1), f32),
         interpret=interpret,
-    )(R_p, Zf)
+    )(tj, R_p, Zf)
 
 
-def _tiled_correction_kernel(Wt_ref, R_ref, Z_ref, Z_out_ref, *, sub, T):
-    # Wt_ref: (sub, dp, K) betas of this grid step's layout tiles (zero
-    # rows for mixed/pad tiles — their correction is applied outside)
+def _tiled_correction_kernel(
+    tj_ref, Wj_ref, R_ref, Z_ref, Z_out_ref, *, sub, T
+):
+    # Wj_ref: (n_joint + 1, dp, K) per-joint betas, whole table VMEM
+    # resident (a few hundred KB); each layout tile fetches its row by the
+    # prefetched tile->joint table. The trailing zero row makes mixed/pad
+    # tiles a no-op (their correction is applied outside).
+    s = pl.program_id(0)
     d = Z_ref.shape[0]
     for j in range(sub):
         sl = slice(j * T, (j + 1) * T)
+        jid = tj_ref[s * sub + j]
+        Wj = Wj_ref[pl.ds(jid, 1)][0]  # (dp, K)
         corr = jax.lax.dot_general(
-            Wt_ref[j], R_ref[:, sl],
+            Wj, R_ref[:, sl],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (dp, T)
@@ -192,24 +233,24 @@ def _tiled_correction_kernel(Wt_ref, R_ref, Z_ref, Z_out_ref, *, sub, T):
 
 def pallas_tiled_correction(
     cfg: HarmonyConfig,
-    W_tiles: jnp.ndarray,  # (NT, d, K) betas per layout tile (zeros: no-op)
+    W_joint: jnp.ndarray,  # (n_joint + 1, d, K) betas; last row zeros
+    tile_joint: jnp.ndarray,  # (NT_pure,) int32 joint id per pure tile
     R: jnp.ndarray,  # (K, Np)
     Z: jnp.ndarray,  # (d, Np) original embedding
     tile: int,
     interpret: bool = False,
     grid_tile: int | None = None,
 ) -> jnp.ndarray:
-    """Z - W[tile]·R per batch-pure layout tile (src/harmony.cpp:613-616).
-
-    One (d, K)x(K, T) matmul per layout tile against that tile's beta
-    block (pre-gathered per tile — a few MB). Zero rows in ``W_tiles``
-    (mixed/pad tiles) leave Z unchanged; the mixed-region correction is
-    added outside.
-    """
+    """Z - W[joint(tile)]·R per batch-pure layout tile
+    (src/harmony.cpp:613-616). One (d, K)x(K, T) matmul per tile; the
+    joint beta table stays VMEM-resident and rows are fetched via the
+    prefetched tile->joint map, so HBM traffic is one read of R and Z and
+    one write of Z_corr. Mixed/pad tiles hit the trailing zero row and
+    pass Z through (their correction is added outside)."""
     K, Np = R.shape
     d = Z.shape[0]
     T = tile
-    Tg = grid_tile or max(T, min(2048, cfg.estep_sub_tile))
+    Tg = grid_tile or max(T, min(4096, cfg.estep_sub_tile))
     Tg = max(T, (Tg // T) * T)
     sub = Tg // T
     NG = -(-Np // Tg)
@@ -218,14 +259,11 @@ def pallas_tiled_correction(
     f32 = jnp.float32
     dp = _sublane_pad(d)
 
-    Wp = W_tiles.astype(f32)
-    if Wp.shape[0] != NT:
-        Wp = jnp.concatenate(
-            [Wp, jnp.zeros((NT - Wp.shape[0],) + Wp.shape[1:], f32)], axis=0
-        )
+    nj1 = W_joint.shape[0]
+    Wp = W_joint.astype(f32)
     if dp != d:
         Wp = jnp.concatenate(
-            [Wp, jnp.zeros((NT, dp - d, K), f32)], axis=1
+            [Wp, jnp.zeros((nj1, dp - d, K), f32)], axis=1
         )
     R_p = R.astype(f32)
     Zf = Z.astype(f32)
@@ -234,20 +272,32 @@ def pallas_tiled_correction(
         R_p = jnp.concatenate([R_p, jnp.zeros((K, pad), f32)], axis=1)
         Zf = jnp.concatenate([Zf, jnp.zeros((d, pad), f32)], axis=1)
 
+    NT_pure = tile_joint.shape[0]
+    tj = jnp.concatenate(
+        [
+            tile_joint.astype(jnp.int32),
+            jnp.full((NT - NT_pure,), nj1 - 1, jnp.int32),
+        ]
+    )
+
     from functools import partial as _partial
 
-    Z_out = pl.pallas_call(
-        _partial(_tiled_correction_kernel, sub=sub, T=T),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(NG,),
         in_specs=[
-            pl.BlockSpec((sub, dp, K), lambda s: (s, 0, 0)),
-            pl.BlockSpec((K, Tg), lambda s: (0, s)),
-            pl.BlockSpec((d, Tg), lambda s: (0, s)),
+            pl.BlockSpec((nj1, dp, K), lambda s, tj: (0, 0, 0)),
+            pl.BlockSpec((K, Tg), lambda s, tj: (0, s)),
+            pl.BlockSpec((d, Tg), lambda s, tj: (0, s)),
         ],
-        out_specs=pl.BlockSpec((d, Tg), lambda s: (0, s)),
+        out_specs=pl.BlockSpec((d, Tg), lambda s, tj: (0, s)),
+    )
+    Z_out = pl.pallas_call(
+        _partial(_tiled_correction_kernel, sub=sub, T=T),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((d, Npt), f32),
         interpret=interpret,
-    )(Wp, R_p, Zf)
+    )(tj, Wp, R_p, Zf)
     return Z_out[:, :Np] if Npt != Np else Z_out
 
 

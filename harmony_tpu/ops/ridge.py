@@ -328,12 +328,12 @@ def _moments_tiled(cfg, R_eff, Zf, codes, tiled):
     f32 = jnp.float32
     K = cfg.K
     interp = _jax.default_backend() == "cpu"
-    S = pallas_tile_moments(cfg, R_eff, Zf, tiled.tile, interpret=interp)
-    NT_pure = len(tiled.tile_joint)
     n_joint = tiled.joint_codes.shape[1]
-    seg = jax.ops.segment_sum(
-        S[:NT_pure], jnp.asarray(tiled.tile_joint), num_segments=n_joint
-    )  # (n_joint, K, d+1)
+    M = pallas_tile_moments(
+        cfg, R_eff, Zf, tiled.tile, jnp.asarray(tiled.tile_joint),
+        n_joint, interpret=interp,
+    )
+    seg = M[:n_joint]  # (n_joint, K, d+1); trailing mixed/pad row dropped
 
     # trailing mixed region: group remainders + pad cells (inert, R == 0)
     n_pure = tiled.n_pure
@@ -422,13 +422,9 @@ def _correction_tiled(cfg, W, R_eff, Zf, ctx, tiled):
     )
 
     Np = R_eff.shape[1]
-    NT = -(-Np // tiled.tile)
-    tile_w = jnp.asarray(
-        list(tiled.tile_joint) + [n_joint] * (NT - NT_pure), dtype=jnp.int32
-    )
-    W_tiles = jnp.take(W_joint, tile_w, axis=0)  # (NT, d, K), a few MB
     Z_corr = pallas_tiled_correction(
-        cfg, W_tiles, R_eff, Zf, tiled.tile, interpret=interp
+        cfg, W_joint, jnp.asarray(tiled.tile_joint), R_eff, Zf, tiled.tile,
+        interpret=interp,
     )
 
     tail = Np - tiled.n_pure
