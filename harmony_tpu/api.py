@@ -291,22 +291,21 @@ def run_harmony(
     ingest_inv = None
     if shuffle_mode == "rotate":
         from .ops.tiled import (
-            build_batch_tiled_order, count_joint_levels, tiled_mixture_ok,
+            build_batch_tiled_order, choose_tiled_tile, count_joint_levels,
         )
 
+        tiled_t = None
         if (
             mesh is None
             and cfg.estep_impl == "pallas"
             and cfg.mstep_impl != "pallas"
             and cfg.mstep_mode in ("auto", "tiled")
-            and tiled_mixture_ok(
-                cfg.Np, cfg.mstep_tile, cfg.n_blocks,
-                count_joint_levels(design.codes),
-            )
         ):
-            perm, _ = build_batch_tiled_order(
-                design.codes, cfg.mstep_tile, seed
+            tiled_t = choose_tiled_tile(
+                cfg, count_joint_levels(design.codes)
             )
+        if tiled_t:
+            perm, _ = build_batch_tiled_order(design.codes, tiled_t, seed)
         else:
             perm = np.random.default_rng(seed).permutation(N)
         ingest_inv = np.argsort(perm)

@@ -120,9 +120,10 @@ def run_bench(
     # O(K·N·d) path. Synthetic cells are already random, so nothing else
     # needs an ingest shuffle.
     from .ops.tiled import (
-        build_batch_tiled_order, count_joint_levels, tiled_mixture_ok,
+        build_batch_tiled_order, choose_tiled_tile, count_joint_levels,
     )
 
+    tiled_t = None
     if (
         cfg.shuffle_mode == "rotate"
         and the_mesh is None
@@ -130,14 +131,10 @@ def run_bench(
         and cfg.mstep_impl != "pallas"
         and cfg.mstep_mode in ("auto", "tiled")
         and os.environ.get("HARMONY_BENCH_TILED", "1") != "0"
-        and tiled_mixture_ok(
-            cfg.Np, cfg.mstep_tile, cfg.n_blocks,
-            count_joint_levels(design.codes),
-        )
     ):
-        perm, _ = build_batch_tiled_order(
-            design.codes, cfg.mstep_tile, seed
-        )
+        tiled_t = choose_tiled_tile(cfg, count_joint_levels(design.codes))
+    if tiled_t:
+        perm, _ = build_batch_tiled_order(design.codes, tiled_t, seed)
         Zt = Zt[:, perm]
         design = dataclasses.replace(design, codes=design.codes[:, perm])
         used_tiled = True

@@ -384,9 +384,10 @@ def make_engine(cfg: HarmonyConfig, codes=None) -> Engine:
 
         from .ops.tiled import detect_tiled_layout
 
-        tiled = detect_tiled_layout(
-            np.asarray(codes), cfg.N, cfg.mstep_tile
-        )
+        for t in dict.fromkeys((cfg.mstep_tile, 128)):
+            tiled = detect_tiled_layout(np.asarray(codes), cfg.N, t)
+            if tiled is not None:
+                break
         if tiled is None and cfg.mstep_mode == "tiled":
             raise ValueError(
                 "mstep_mode='tiled' requires a batch-tiled cell order "

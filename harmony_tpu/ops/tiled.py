@@ -77,6 +77,19 @@ def tiled_mixture_ok(
     return tiles_per_block >= factor * max(n_joint, 1)
 
 
+def choose_tiled_tile(cfg, n_joint: int) -> Optional[int]:
+    """Largest feasible layout-tile width for this run, or None.
+
+    Tries the configured ``mstep_tile`` first, then 128 (finer tiles keep
+    the per-block mixture proportional at larger joint-level counts, at
+    the cost of more per-step matmuls in the M-step kernels).
+    """
+    for t in dict.fromkeys((cfg.mstep_tile, 128)):
+        if t >= 128 and tiled_mixture_ok(cfg.Np, t, cfg.n_blocks, n_joint):
+            return t
+    return None
+
+
 def _joint_factorize(codes: np.ndarray):
     """(ncov, N) codes -> (joint id per cell (N,), joint_codes (ncov, n_joint))."""
     codes = np.asarray(codes)
