@@ -169,7 +169,7 @@ def cluster(
     # rotate schedule's padded layout once, outside the round loop.
     if use_stats_carry:
         from .ops.pallas_rotate import (
-            RoundState, TileLayout, make_oh_pad, pad_cells_to_tile,
+            CodesLayout, RoundState, make_codes_pad, pad_cells_to_tile,
             pallas_rotate_update_round_v2, pallas_reassign,
         )
 
@@ -182,10 +182,10 @@ def cluster(
         # init, R/E/O were themselves computed from (Y, Z_corr), so
         # re-deriving them here is a numerical no-op, and branch-free code
         # spares a lax.cond passthrough copy of Z.
-        oh_pad = make_oh_pad(cfg, state.codes)
+        codes_pad = make_codes_pad(cfg, state.codes)
         Z_raw = pad_cells_to_tile(cfg, state.Z_corr).astype(jnp.float32)
         Zn_pad, tile_O0, O, E = pallas_reassign(
-            cfg, state.Y, state.sigma, state.Pr_b, Z_raw, oh_pad,
+            cfg, state.Y, state.sigma, state.Pr_b, Z_raw, codes_pad,
             interpret=interpret,
         )
         state = dataclasses.replace(
@@ -196,7 +196,7 @@ def cluster(
             O=O.astype(state.O.dtype),
             E=E.astype(state.E.dtype),
         )
-        rotate_layout = TileLayout(Z_pad=Zn_pad, oh_pad=oh_pad)
+        rotate_layout = CodesLayout(Z_pad=Zn_pad, codes_pad=codes_pad)
     elif use_pallas_rotate:
         from .ops.pallas_rotate import (
             make_tile_layout, pallas_rotate_update_round,

@@ -62,6 +62,58 @@ class TileLayout(NamedTuple):
     oh_pad: jnp.ndarray  # (NT*T, B) one-hot design; pad/invalid rows zero
 
 
+class CodesLayout(NamedTuple):
+    """Phase constants for the v2 kernels: the design rides as int32
+    codes and each tile's one-hot block is rebuilt in VMEM by an
+    iota-compare — the (N, B) one-hot never exists in HBM (it is 4 GB at
+    10M cells x 100 batches; codes are ncov x N x 4 bytes)."""
+
+    Z_pad: jnp.ndarray  # (d, NT*T) zero-padded
+    codes_pad: jnp.ndarray  # (ncov, NT*T) int32; pads get a <-B sentinel
+
+
+def make_codes_pad(cfg: HarmonyConfig, codes: jnp.ndarray) -> jnp.ndarray:
+    """(ncov, Npt) int32 codes with pad/invalid cells set to a sentinel
+    below -B, so no level matches even after the per-covariate offset is
+    added (their one-hot columns come out all-zero)."""
+    T = cfg.estep_sub_tile
+    Np = cfg.Np
+    Npt = -(-Np // T) * T
+    sentinel = -cfg.B - 1
+    valid = (jnp.arange(Np) < cfg.N)[None, :]
+    cp = jnp.where(valid, codes.astype(jnp.int32), sentinel)
+    if Npt != Np:
+        cp = jnp.concatenate(
+            [
+                cp,
+                jnp.full((cp.shape[0], Npt - Np), sentinel, jnp.int32),
+            ],
+            axis=1,
+        )
+    return cp
+
+
+def make_codes_layout(
+    cfg: HarmonyConfig, Z: jnp.ndarray, codes: jnp.ndarray
+) -> CodesLayout:
+    return CodesLayout(
+        Z_pad=pad_cells_to_tile(cfg, Z).astype(jnp.float32),
+        codes_pad=make_codes_pad(cfg, codes),
+    )
+
+
+def _build_ohT(codes_ref, offsets, B: int, T: int):
+    """(B, T) one-hot-transpose block from this tile's int32 codes;
+    sentinel codes (pads, < -B) produce all-zero columns even after the
+    covariate offset. Pure VPU iota-compares."""
+    b_iota = jax.lax.broadcasted_iota(jnp.int32, (B, T), 0)
+    ohT = None
+    for c, off in enumerate(offsets):
+        m = (codes_ref[c : c + 1, :] + off == b_iota).astype(jnp.float32)
+        ohT = m if ohT is None else ohT + m
+    return ohT
+
+
 def make_oh_pad(cfg: HarmonyConfig, codes: jnp.ndarray) -> jnp.ndarray:
     """(Npt, B) one-hot design, pad/invalid rows zero (tile-aligned)."""
     T = cfg.estep_sub_tile
@@ -363,7 +415,7 @@ def _round_kernel_v2(
     # inputs
     Yt_ref,  # (K, d)
     Z_ref,  # (d, T) tile at scal[_V2_TILE, s]
-    oh_ref,  # (T, B) tile at scal[_V2_TILE, s]
+    codes_ref,  # (ncov, T) tile at scal[_V2_TILE, s]
     blkO_ref,  # (1, K, B) block-old O at scal[_V2_BLK, s]
     E_in_ref,  # (K, B)
     O_in_ref,  # (K, B)
@@ -387,6 +439,8 @@ def _round_kernel_v2(
     *,
     b0: int,  # levels of covariate 0 (intercept row-sum slice)
     cheap_entropy: bool,  # single covariate: factorised sigma*R*logR
+    offsets: tuple,  # covariate offsets into the global batch rows
+    B: int,
 ):
     s = pl.program_id(0)
     n_steps = pl.num_programs(0)
@@ -419,16 +473,16 @@ def _round_kernel_v2(
         Opend_s[:] = jnp.zeros_like(Opend_s)
 
     # assignments for this tile against the block-removed stats
-    # (src/harmony.cpp:318-323); invalid cells have all-zero one-hot rows,
-    # so the guarded normalise leaves inert zero columns
+    # (src/harmony.cpp:318-323); invalid cells (code -1) have all-zero
+    # one-hot columns, so the guarded normalise leaves inert zero columns
     Z_t = Z_ref[:]  # (d, T)
-    oh_t = oh_ref[:]  # (T, B)
+    ohT = _build_ohT(codes_ref, offsets, B, Z_t.shape[1])  # (B, T)
     g = jnp.dot(Yt_ref[:], Z_t, preferred_element_type=jnp.float32)
     d_t = 2.0 * (1.0 - g)
     R_n = jnp.exp(-d_t / sigma_ref[:])
     colsum1 = jnp.sum(R_n, axis=0, keepdims=True)
     R_n = R_n / colsum1
-    pc = jnp.dot(pen_s[:], oh_t.T, preferred_element_type=jnp.float32)
+    pc = jnp.dot(pen_s[:], ohT, preferred_element_type=jnp.float32)
     R_n = R_n * pc
     colsum = jnp.sum(R_n, axis=0, keepdims=True)
     colsum_g = jnp.where(colsum == 0.0, 1.0, colsum)
@@ -436,7 +490,10 @@ def _round_kernel_v2(
 
     # per-tile stats: this IS the add-back bookkeeping AND the next round's
     # block-old source
-    tO = jnp.dot(R_n, oh_t, preferred_element_type=jnp.float32)  # (K, B)
+    tO = jax.lax.dot_general(
+        R_n, ohT, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (K, B)
     rpend_s[:] = rpend_s[:] + jnp.sum(tO[:, :b0], axis=1, keepdims=True)
     Opend_s[:] = Opend_s[:] + tO
     s_rd = jnp.sum(R_n * d_t)
@@ -485,13 +542,14 @@ def pallas_rotate_update_round_v2(
     sigma: jnp.ndarray,
     theta: jnp.ndarray,
     key: jax.Array,
-    layout: TileLayout,
+    layout: CodesLayout,
     interpret: bool = False,
 ) -> "RoundState":
-    """Stats-carrying rotate round: one Z/oh read + one R write per round."""
+    """Stats-carrying rotate round: one Z/codes read + one R write per round."""
     K, Np = rs.R.shape
     d = layout.Z_pad.shape[0]
     B = cfg.B
+    ncov = cfg.n_covariates
     T = cfg.estep_sub_tile
     f32 = jnp.float32
     NT = -(-Np // T)
@@ -508,7 +566,9 @@ def pallas_rotate_update_round_v2(
         in_specs=[
             pl.BlockSpec((K, d), lambda s, sc: (0, 0)),  # Y^T
             pl.BlockSpec((d, T), lambda s, sc: (0, sc[_V2_TILE, s])),  # Z
-            pl.BlockSpec((T, B), lambda s, sc: (sc[_V2_TILE, s], 0)),  # oh
+            pl.BlockSpec(
+                (ncov, T), lambda s, sc: (0, sc[_V2_TILE, s])
+            ),  # codes
             pl.BlockSpec((1, K, B), lambda s, sc: (sc[_V2_BLK, s], 0, 0)),
             pl.BlockSpec((K, B), lambda s, sc: (0, 0)),  # E_in
             pl.BlockSpec((K, B), lambda s, sc: (0, 0)),  # O_in
@@ -539,6 +599,7 @@ def pallas_rotate_update_round_v2(
         _partial(
             _round_kernel_v2, b0=cfg.B_vec[0],
             cheap_entropy=cfg.n_covariates == 1,
+            offsets=tuple(cfg.covariate_offsets), B=B,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -554,7 +615,7 @@ def pallas_rotate_update_round_v2(
         scal,
         Y.T.astype(f32),
         layout.Z_pad,
-        layout.oh_pad,
+        layout.codes_pad,
         blk_O,
         rs.E.astype(f32),
         rs.O.astype(f32),
@@ -576,7 +637,7 @@ def _reassign_kernel(
     # inputs
     Yt_ref,  # (K, d)
     Z_ref,  # (d, T) tile s — RAW (un-normalised) corrected embedding
-    oh_ref,  # (T, B) tile s
+    codes_ref,  # (ncov, T) tile s
     sigma_ref,  # (K, 1)
     # outputs
     Zn_out_ref,  # (d, T) tile s — L2-normalised columns
@@ -586,6 +647,8 @@ def _reassign_kernel(
     O_s,  # (K, B)
     *,
     ncov: int,
+    offsets: tuple,
+    B: int,
 ):
     s = pl.program_id(0)
     n_steps = pl.num_programs(0)
@@ -601,18 +664,21 @@ def _reassign_kernel(
     Z_t = Z_t / jnp.where(nrm == 0.0, 1.0, nrm)
     Zn_out_ref[:] = Z_t
 
-    oh_t = oh_ref[:]  # (T, B)
+    ohT = _build_ohT(codes_ref, offsets, B, Z_t.shape[1])  # (B, T)
     g = jnp.dot(Yt_ref[:], Z_t, preferred_element_type=jnp.float32)
     d_t = 2.0 * (1.0 - g)
     R_n = jnp.exp(-d_t / sigma_ref[:])
-    # pad cells (all-zero one-hot rows) must yield inert zero columns; every
+    # pad cells (code -1, all-zero one-hot columns) must stay inert; every
     # valid cell carries exactly `ncov` ones
-    valid = jnp.sum(oh_t, axis=1)[None, :] * (1.0 / ncov)  # (1, T)
+    valid = jnp.sum(ohT, axis=0, keepdims=True) * (1.0 / ncov)  # (1, T)
     R_n = R_n * valid
     colsum = jnp.sum(R_n, axis=0, keepdims=True)
     R_n = R_n / jnp.where(colsum == 0.0, 1.0, colsum)
 
-    tO = jnp.dot(R_n, oh_t, preferred_element_type=jnp.float32)  # (K, B)
+    tO = jax.lax.dot_general(
+        R_n, ohT, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (K, B)
     O_s[:] = O_s[:] + tO
     tO_out_ref[0] = tO
 
@@ -627,7 +693,7 @@ def pallas_reassign(
     sigma: jnp.ndarray,  # (K,)
     Pr_b: jnp.ndarray,  # (B,)
     Z_raw: jnp.ndarray,  # (d, Npt) un-normalised corrected embedding, padded
-    oh_pad: jnp.ndarray,  # (Npt, B)
+    codes_pad: jnp.ndarray,  # (ncov, Npt) int32; pads -1
     interpret: bool = False,
 ):
     """Fused re-entry: normalise + re-assign + tile-stat seed, one Z pass.
@@ -652,12 +718,15 @@ def pallas_reassign(
     from functools import partial as _partial
 
     kernel = pl.pallas_call(
-        _partial(_reassign_kernel, ncov=cfg.n_covariates),
+        _partial(
+            _reassign_kernel, ncov=cfg.n_covariates,
+            offsets=tuple(cfg.covariate_offsets), B=B,
+        ),
         grid=(NT,),
         in_specs=[
             pl.BlockSpec((K, d), lambda s: (0, 0)),  # Y^T
             pl.BlockSpec((d, T), lambda s: (0, s)),  # Z raw
-            pl.BlockSpec((T, B), lambda s: (s, 0)),  # oh
+            pl.BlockSpec((cfg.n_covariates, T), lambda s: (0, s)),  # codes
             pl.BlockSpec((K, 1), lambda s: (0, 0)),  # sigma
         ],
         out_specs=[
@@ -676,7 +745,7 @@ def pallas_reassign(
     Zn, tile_O, O = kernel(
         Y.T.astype(f32),
         Z_raw.astype(f32),
-        oh_pad,
+        codes_pad,
         sigma.astype(f32)[:, None],
     )
     # E = rowsums(R) Pr_b^T (src/harmony.cpp:226); rowsums fall out of the

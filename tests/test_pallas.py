@@ -362,14 +362,15 @@ class TestPallasRotateV2(TestPallasRotate):
         import jax.numpy as jnp
 
         from harmony_tpu.ops.pallas_rotate import (
-            RoundState, make_tile_layout, pallas_rotate_update_round_v2,
-            tile_stats_from_R,
+            RoundState, make_codes_layout, make_tile_layout,
+            pallas_rotate_update_round_v2, tile_stats_from_R,
         )
 
         def run(s):
-            layout = make_tile_layout(cfg, s.Z_corr, s.codes)
+            oh_layout = make_tile_layout(cfg, s.Z_corr, s.codes)
+            layout = make_codes_layout(cfg, s.Z_corr, s.codes)
             tO = (
-                tile_stats_from_R(cfg, s.R, layout.oh_pad)
+                tile_stats_from_R(cfg, s.R, oh_layout.oh_pad)
                 if tile_O is None else tile_O
             )
             rs = RoundState(
@@ -490,7 +491,8 @@ class TestPallasReassign:
 
     def test_matches_xla_reassign(self):
         from harmony_tpu.ops.pallas_rotate import (
-            make_tile_layout, pallas_reassign, tile_stats_from_R,
+            make_codes_layout, make_tile_layout, pallas_reassign,
+            tile_stats_from_R,
         )
 
         for B_vec, N_pad in [((3,), None), ((2, 3), 640)]:
@@ -501,13 +503,14 @@ class TestPallasReassign:
 
             cfg = dataclasses.replace(cfg, estep_sub_tile=128)
             layout = make_tile_layout(cfg, Z, codes)
+            clayout = make_codes_layout(cfg, Z, codes)
 
             # feed an UN-normalised embedding: the kernel must normalise
             # (the fixture's Z/R were computed from the normalised one)
             Zn2, tO2, O2, E2 = jax.jit(
                 lambda Y, sigma, Pr_b: pallas_reassign(
-                    cfg, Y, sigma, Pr_b, 2.5 * layout.Z_pad,
-                    layout.oh_pad, interpret=True,
+                    cfg, Y, sigma, Pr_b, 2.5 * clayout.Z_pad,
+                    clayout.codes_pad, interpret=True,
                 )
             )(Y, sigma, Pr_b)
 
