@@ -207,3 +207,31 @@ def test_engine_tiled_mstep_end_to_end():
         np.asarray(results["dense"].objective_harmony),
         rtol=1e-3,
     )
+
+
+class TestMixtureGate:
+    """choose_tiled_tile: prefer >=4 tiles/group/block, accept >=2 floor."""
+
+    def _cfg(self, Np, n_blocks=20, mstep_tile=256):
+        from types import SimpleNamespace
+
+        return SimpleNamespace(Np=Np, n_blocks=n_blocks, mstep_tile=mstep_tile)
+
+    def test_prefers_configured_tile_at_high_factor(self):
+        from harmony_tpu.ops.tiled import choose_tiled_tile
+
+        # 1M cells, 10 joint levels: 256-tile gives 195 tiles/block >= 4*10
+        assert choose_tiled_tile(self._cfg(1_000_000), 10) == 256
+
+    def test_falls_to_fine_tile_then_low_factor(self):
+        from harmony_tpu.ops.tiled import choose_tiled_tile
+
+        # 1M cells, 100 joint levels: 256-tile -> 1.95 tiles/group/block
+        # (reject), 128-tile -> 3.9 (accept at the >=2 floor)
+        assert choose_tiled_tile(self._cfg(1_000_000), 100) == 128
+
+    def test_rejects_below_floor(self):
+        from harmony_tpu.ops.tiled import choose_tiled_tile
+
+        # 250k cells, 100 joint levels: 128-tile -> 0.98 tiles/group/block
+        assert choose_tiled_tile(self._cfg(250_000), 100) is None
