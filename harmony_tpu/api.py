@@ -330,7 +330,7 @@ def run_harmony(
         if init_Y.shape != (cfg.d, cfg.K):
             raise ValueError(f"init_Y must be (d, K)={cfg.d, cfg.K}")
 
-    state = _run(cfg, state, verbose=verbose, Y0=init_Y)
+    state = _run(cfg, state, verbose=verbose, Y0=init_Y, mesh=mesh)
 
     result = HarmonyResult(
         config=cfg, state=state, design=design, ingest_inv=ingest_inv

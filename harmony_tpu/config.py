@@ -319,38 +319,45 @@ def finalize_engine_config(cfg: HarmonyConfig, mesh=None) -> HarmonyConfig:
 
     import jax as _jax
 
+    n_shards = 1 if mesh is None else mesh.size
     if cfg.estep_impl == "auto":
         use_pallas = (
             cfg.shuffle_mode == "rotate"
-            and mesh is None
+            # only the stats-carry kernel has a sharded wrapper
+            and (mesh is None or cfg.rotate_stats_carry)
             and _jax.default_backend() == "tpu"
             # The tile-rotate kernel quantises blocks to cell tiles (>=128
             # cells each). Below n_blocks*128 cells it cannot express the
             # reference's block count — at the extreme a single block,
             # which removes the whole dataset from E/O and so nullifies
             # the diversity penalty within each round. Small runs use the
-            # exact cell-granular XLA schedule instead.
-            and cfg.Np >= cfg.n_blocks * 128
+            # exact cell-granular XLA schedule instead. On a mesh the
+            # kernels run per shard (ops/pallas_rotate.py sharded
+            # wrappers), so the bound applies to the shard-local cells.
+            and cfg.Np // n_shards >= cfg.n_blocks * 128
         )
         cfg = _dc.replace(cfg, estep_impl="pallas" if use_pallas else "xla")
     if cfg.estep_impl == "pallas" and cfg.shuffle_mode == "rotate":
-        # Shrink the cell sub-tile so the round has at least n_blocks tiles
-        # (keeps the stochastic block schedule faithful at small N; no-op
-        # at the production shapes where Np/n_blocks >> estep_sub_tile).
+        # Shrink the cell sub-tile so each shard's round has at least
+        # n_blocks tiles (keeps the stochastic block schedule faithful at
+        # small N; no-op at the production shapes where
+        # Np/(shards*n_blocks) >> estep_sub_tile).
         T = cfg.estep_sub_tile
         # VMEM budget: the round kernel holds ~2 double-buffered copies of
         # the (d+B+K) x T tile working set; shrink T so it stays well
         # under a v5e core's 16 MB (large-K runs).
         while T > 512 and 8 * T * (cfg.K + cfg.d + cfg.B) > 12 * 2**20:
             T //= 2
-        per_block = max(cfg.Np // max(cfg.n_blocks, 1), 1)
+        per_block = max(cfg.Np // n_shards // max(cfg.n_blocks, 1), 1)
         fit = 128
         while fit * 2 <= per_block:
             fit *= 2
         T = max(128, min(T, fit))
         if T != cfg.estep_sub_tile:
             cfg = _dc.replace(cfg, estep_sub_tile=T)
-        Npt = -(-cfg.Np // T) * T
+        # Every shard needs a tile-aligned slice: pad to shards * tile.
+        align = n_shards * T
+        Npt = -(-cfg.Np // align) * align
         if Npt != cfg.Np:
             cfg = _dc.replace(cfg, N_pad=Npt)
     if cfg.mstep_impl == "auto":

@@ -108,9 +108,10 @@ def run(
     verbose: bool = False,
     Y0: Optional[np.ndarray] = None,
     perms: Optional[np.ndarray] = None,
+    mesh=None,
 ) -> HarmonyState:
     """init_cluster + harmonize, returning the final state."""
-    engine = make_engine(cfg, codes=state.codes)
+    engine = make_engine(cfg, codes=state.codes, mesh=mesh)
     if Y0 is not None:
         state = engine.init_cluster_from(state, jnp.asarray(Y0))
     else:

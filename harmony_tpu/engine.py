@@ -118,6 +118,7 @@ def cluster(
     cfg: HarmonyConfig,
     state: HarmonyState,
     perms: Optional[jnp.ndarray] = None,
+    mesh=None,
 ) -> HarmonyState:
     """One clustering phase: up to ``max_iter_cluster`` block-update rounds.
 
@@ -133,6 +134,7 @@ def cluster(
     use_rotate = cfg.shuffle_mode == "rotate" and perms is None
     use_pallas_rotate = use_rotate and cfg.estep_impl == "pallas"
     use_stats_carry = use_pallas_rotate and cfg.rotate_stats_carry
+    sharded_pallas = use_stats_carry and mesh is not None
     interpret = jax.default_backend() == "cpu"
 
     # Re-entry re-estimation (src/harmony.cpp:214-228). The trace cursor is
@@ -171,6 +173,7 @@ def cluster(
         from .ops.pallas_rotate import (
             CodesLayout, RoundState, make_codes_pad, pad_cells_to_tile,
             pallas_rotate_update_round_v2, pallas_reassign,
+            sharded_reassign, sharded_rotate_round_v2,
         )
 
         # Re-entry + seed, fused: one kernel pass over Z normalises it,
@@ -184,10 +187,16 @@ def cluster(
         # spares a lax.cond passthrough copy of Z.
         codes_pad = make_codes_pad(cfg, state.codes)
         Z_raw = pad_cells_to_tile(cfg, state.Z_corr).astype(jnp.float32)
-        Zn_pad, tile_O0, O, E = pallas_reassign(
-            cfg, state.Y, state.sigma, state.Pr_b, Z_raw, codes_pad,
-            interpret=interpret,
-        )
+        if sharded_pallas:
+            Zn_pad, tile_O0, O, E = sharded_reassign(
+                cfg, mesh, state.Y, state.sigma, state.Pr_b, Z_raw,
+                codes_pad, interpret=interpret,
+            )
+        else:
+            Zn_pad, tile_O0, O, E = pallas_reassign(
+                cfg, state.Y, state.sigma, state.Pr_b, Z_raw, codes_pad,
+                interpret=interpret,
+            )
         state = dataclasses.replace(
             state,
             Z_corr=(
@@ -217,11 +226,18 @@ def cluster(
                 R=state.R, E=state.E, O=state.O, tile_O=tile_O,
                 kmeans_error=jnp.float32(0), entropy=jnp.float32(0),
             )
-            res = pallas_rotate_update_round_v2(
-                cfg, state.Z_corr, state.Y, rs, state.Pr_b, state.sigma,
-                state.theta, round_keys[it], layout=rotate_layout,
-                interpret=interpret,
-            )
+            if sharded_pallas:
+                res = sharded_rotate_round_v2(
+                    cfg, mesh, state.Y, rs, state.Pr_b, state.sigma,
+                    state.theta, round_keys[it], layout=rotate_layout,
+                    interpret=interpret,
+                )
+            else:
+                res = pallas_rotate_update_round_v2(
+                    cfg, state.Z_corr, state.Y, rs, state.Pr_b, state.sigma,
+                    state.theta, round_keys[it], layout=rotate_layout,
+                    interpret=interpret,
+                )
             tile_O = res.tile_O
         elif use_rotate:
             res = rotate_round(
@@ -281,7 +297,7 @@ def correct(
 
 def harmony_round(
     cfg: HarmonyConfig, state: HarmonyState, segments=None, onehots=None,
-    tiled=None,
+    tiled=None, mesh=None,
 ) -> HarmonyState:
     """One full Harmony round — cluster then correct — as a single program.
 
@@ -292,8 +308,8 @@ def harmony_round(
     canonical bench shape).
     """
     return correct(
-        cfg, cluster(cfg, state), segments=segments, onehots=onehots,
-        tiled=tiled,
+        cfg, cluster(cfg, state, mesh=mesh), segments=segments,
+        onehots=onehots, tiled=tiled,
     )
 
 
@@ -312,6 +328,7 @@ def run_rounds(
     segments=None,
     onehots=None,
     tiled=None,
+    mesh=None,
 ) -> HarmonyState:
     """Up to ``n_max`` full Harmony rounds as ONE device program.
 
@@ -328,7 +345,8 @@ def run_rounds(
     def body(carry):
         s, i, _ = carry
         s = harmony_round(
-            cfg, s, segments=segments, onehots=onehots, tiled=tiled
+            cfg, s, segments=segments, onehots=onehots, tiled=tiled,
+            mesh=mesh,
         )
         return (s, i + 1, harmony_converged(cfg, s))
 
@@ -369,10 +387,12 @@ def _with_precision(cfg: HarmonyConfig, fn):
     return wrapped
 
 
-def make_engine(cfg: HarmonyConfig, codes=None) -> Engine:
+def make_engine(cfg: HarmonyConfig, codes=None, mesh=None) -> Engine:
     """Build jitted phases. ``codes`` ((ncov, Np) array, host or device)
     enables the segmented M-step when ``cfg.use_segments``; the tile layout
-    is static per run and closed over as a jit constant."""
+    is static per run and closed over as a jit constant. ``mesh`` (a 1-D
+    cells mesh) routes the Pallas E-step through its shard_map wrappers —
+    without it, sharded states take the auto-partitioned XLA path."""
     segments = None
     onehots = None
     tiled = None
@@ -430,12 +450,12 @@ def make_engine(cfg: HarmonyConfig, codes=None) -> Engine:
         cfg=cfg,
         init_cluster=jit(init_cluster),
         init_cluster_from=jit(init_cluster_from),
-        cluster=jit(cluster, donate=donate),
+        cluster=jit(cluster, donate=donate, mesh=mesh),
         correct=jit(correct, donate=donate, segments=segments,
                     onehots=onehots, tiled=tiled),
         round=jit(harmony_round, donate=donate, segments=segments,
-                  onehots=onehots, tiled=tiled),
+                  onehots=onehots, tiled=tiled, mesh=mesh),
         run_rounds=jit(run_rounds, donate=donate, segments=segments,
-                       onehots=onehots, tiled=tiled),
+                       onehots=onehots, tiled=tiled, mesh=mesh),
         harmony_converged=jit(harmony_converged),
     )

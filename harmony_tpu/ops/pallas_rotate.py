@@ -633,6 +633,120 @@ def pallas_rotate_update_round_v2(
     )
 
 
+# --------------------------------------------------------------------------
+# Sharded (multi-chip) wrappers: per-shard block schedule.
+#
+# The reference's E-step interleaves *global* E/O updates between blocks
+# (src/harmony.cpp:293-332); preserving that exactly across a mesh would
+# cost one K x B all-reduce per block (~n_blocks per round). Instead each
+# shard runs the full reference block structure — n_blocks sequential
+# blocks over its local tiles, its own random rotation and block order —
+# against diversity statistics that are global at round start and updated
+# shard-locally within the round; the shards' E/O deltas merge with ONE
+# psum per round. Equivalent to the reference's stochastic schedule in the
+# same sense the rotate schedule already is (different random order of the
+# same online process; remote contributions are at most one round stale
+# within a round). The carried tile_O table shards with the tiles, so the
+# E-step's zero-R-re-read property is preserved per shard.
+# --------------------------------------------------------------------------
+
+
+def sharded_reassign(
+    cfg: HarmonyConfig,
+    mesh,
+    Y: jnp.ndarray,
+    sigma: jnp.ndarray,
+    Pr_b: jnp.ndarray,
+    Z_raw: jnp.ndarray,  # (d, Npt) cell-sharded, tile*mesh aligned
+    codes_pad: jnp.ndarray,  # (ncov, Npt) cell-sharded
+    interpret: bool = False,
+):
+    """Fused re-entry on a cell-sharded mesh: local kernels + one psum."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..sharding import CELL_AXIS
+
+    def fn(Y, sigma, Pr_b, Z_loc, codes_loc):
+        Zn, tO, O, _ = pallas_reassign(
+            cfg, Y, sigma, Pr_b, Z_loc, codes_loc, interpret=interpret
+        )
+        O = jax.lax.psum(O, CELL_AXIS)
+        rsum = jnp.sum(O[:, : cfg.B_vec[0]], axis=1)
+        E = rsum[:, None] * Pr_b.astype(jnp.float32)[None, :]
+        return Zn, tO, O, E
+
+    return shard_map(
+        fn,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(), P(), P(), P(None, CELL_AXIS), P(None, CELL_AXIS)),
+        out_specs=(P(None, CELL_AXIS), P(CELL_AXIS), P(), P()),
+    )(Y, sigma, Pr_b, Z_raw, codes_pad)
+
+
+def sharded_rotate_round_v2(
+    cfg: HarmonyConfig,
+    mesh,
+    Y: jnp.ndarray,  # (d, K) replicated
+    rs: "RoundState",  # R/tile_O cell-sharded; E/O replicated
+    Pr_b: jnp.ndarray,
+    sigma: jnp.ndarray,
+    theta: jnp.ndarray,
+    key: jax.Array,
+    layout: CodesLayout,  # Z_pad/codes_pad cell-sharded
+    interpret: bool = False,
+) -> "RoundState":
+    """Stats-carrying rotate round on a cell-sharded mesh.
+
+    Each shard's schedule derives from ``fold_in(key, axis_index)`` — the
+    global round is ``mesh.size * n_blocks`` blocks processed in parallel
+    waves of ``mesh.size``. E/O enter replicated; the shards' deltas and
+    the objective accumulators merge with one psum.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..sharding import CELL_AXIS
+
+    f32 = jnp.float32
+
+    def fn(Y, R, E, O, tile_O, Z_loc, codes_loc, Pr_b, sigma, theta, key):
+        k = jax.random.fold_in(key, jax.lax.axis_index(CELL_AXIS))
+        rs_loc = RoundState(
+            R=R, E=E, O=O, tile_O=tile_O,
+            kmeans_error=jnp.float32(0), entropy=jnp.float32(0),
+        )
+        res = pallas_rotate_update_round_v2(
+            cfg, Z_loc, Y, rs_loc, Pr_b, sigma, theta, k,
+            layout=CodesLayout(Z_pad=Z_loc, codes_pad=codes_loc),
+            interpret=interpret,
+        )
+        O_new = O + jax.lax.psum(res.O.astype(f32) - O, CELL_AXIS)
+        E_new = E + jax.lax.psum(res.E.astype(f32) - E, CELL_AXIS)
+        kerr = jax.lax.psum(res.kmeans_error, CELL_AXIS)
+        ent = jax.lax.psum(res.entropy, CELL_AXIS)
+        return res.R, res.tile_O, E_new, O_new, kerr, ent
+
+    R, tile_O, E, O, kerr, ent = shard_map(
+        fn,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(
+            P(), P(None, CELL_AXIS), P(), P(), P(CELL_AXIS),
+            P(None, CELL_AXIS), P(None, CELL_AXIS), P(), P(), P(), P(),
+        ),
+        out_specs=(P(None, CELL_AXIS), P(CELL_AXIS), P(), P(), P(), P()),
+    )(
+        Y, rs.R, rs.E.astype(f32), rs.O.astype(f32), rs.tile_O,
+        layout.Z_pad, layout.codes_pad, Pr_b, sigma, theta, key,
+    )
+    return RoundState(
+        R=R, E=E.astype(rs.E.dtype), O=O.astype(rs.O.dtype),
+        tile_O=tile_O, kmeans_error=kerr, entropy=ent,
+    )
+
+
 def _reassign_kernel(
     # inputs
     Yt_ref,  # (K, d)
