@@ -82,9 +82,9 @@ def run_bench(
     Zt = orient_embedding(Z, n_cells)
     cfg = resolve_config(
         n_cells=n_cells, d=d, design=design, nclust=nclust,
-        # +5: trace capacity for the warm-up and calibration rounds of the
-        # two-point measurement below
-        max_iter=max_iter + 5, early_stop=False, options=options,
+        # trace capacity for the warm-up plus all repeats of the two-point
+        # measurement below (3 pairs of 2 and 2+max_iter rounds)
+        max_iter=3 * (max_iter + 4) + 2, early_stop=False, options=options,
         verbose=False,
     )
     import dataclasses
@@ -173,18 +173,24 @@ def run_bench(
     # (dispatch + 2 + max_iter rounds + sync); the difference is pure
     # round compute. Through a remote-dispatch tunnel the host fetch in
     # sync() costs tens of ms of RPC latency — a single-run measurement
-    # would smear that constant into the per-iteration figure.
-    t0 = time.perf_counter()
-    state = engine.run_rounds(warm, jnp.int32(2))
-    sync(state)
-    t_small = time.perf_counter() - t0
+    # would smear that constant into the per-iteration figure. The pair is
+    # repeated and the median delta taken: a single tunnel hiccup landing
+    # in one leg otherwise corrupts the estimate by its full latency.
+    deltas = []
+    state = warm
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state = engine.run_rounds(state, jnp.int32(2))
+        sync(state)
+        t_small = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    state = engine.run_rounds(state, jnp.int32(2 + max_iter))
-    sync(state)
-    t_big = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state = engine.run_rounds(state, jnp.int32(2 + max_iter))
+        sync(state)
+        t_big = time.perf_counter() - t0
+        deltas.append(t_big - t_small)
 
-    per_iter = (t_big - t_small) / max_iter
+    per_iter = float(np.median(deltas)) / max_iter
     cells_per_sec = n_cells / per_iter
     # without a mesh the computation runs on the single default device
     n_devices = the_mesh.size if the_mesh is not None else 1
