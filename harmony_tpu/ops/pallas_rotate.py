@@ -421,6 +421,8 @@ def _round_kernel_v2(
     O_in_ref,  # (K, B)
     Pr_ref,  # (1, B)
     sigma_ref,  # (K, 1)
+    sigrow_ref,  # (1, K) sigma again, lane-major for the MXU row-sums
+    inv2sig_ref,  # (K, 1) 2/sigma
     theta_ref,  # (1, B)
     # outputs
     R_out_ref,  # (K, T) tile at scal[_V2_TILE, s]
@@ -441,6 +443,7 @@ def _round_kernel_v2(
     cheap_entropy: bool,  # single covariate: factorised sigma*R*logR
     offsets: tuple,  # covariate offsets into the global batch rows
     B: int,
+    variant: str = "legacy",  # 'legacy' | 'fused_vpu' | 'fused_mxu'
 ):
     s = pl.program_id(0)
     n_steps = pl.num_programs(0)
@@ -474,19 +477,40 @@ def _round_kernel_v2(
 
     # assignments for this tile against the block-removed stats
     # (src/harmony.cpp:318-323); invalid cells (code -1) have all-zero
-    # one-hot columns, so the guarded normalise leaves inert zero columns
+    # one-hot columns, so the guarded normalise leaves inert zero columns.
     Z_t = Z_ref[:]  # (d, T)
-    ohT = _build_ohT(codes_ref, offsets, B, Z_t.shape[1])  # (B, T)
+    T = Z_t.shape[1]
+    ohT = _build_ohT(codes_ref, offsets, B, T)  # (B, T)
     g = jnp.dot(Yt_ref[:], Z_t, preferred_element_type=jnp.float32)
-    d_t = 2.0 * (1.0 - g)
-    R_n = jnp.exp(-d_t / sigma_ref[:])
-    colsum1 = jnp.sum(R_n, axis=0, keepdims=True)
-    R_n = R_n / colsum1
     pc = jnp.dot(pen_s[:], ohT, preferred_element_type=jnp.float32)
-    R_n = R_n * pc
-    colsum = jnp.sum(R_n, axis=0, keepdims=True)
+
+    if variant == "legacy":
+        # two-normalise form, matching the reference op-for-op
+        # (src/harmony.cpp:319-323)
+        d_t = 2.0 * (1.0 - g)
+        e = jnp.exp(-d_t / sigma_ref[:])
+        colsum1 = jnp.sum(e, axis=0, keepdims=True)
+        w = (e / colsum1) * pc
+    else:
+        # single-normalise form: the reference's softmax normaliser
+        # cancels in exact arithmetic, so apply ONE normalise to
+        # w = exp(-d/sigma) * pen — the elementwise chain over the (K, T)
+        # tile is the VPU bottleneck of the whole E-step and this form
+        # needs ~half the passes. -d/sigma = (g - 1) * (2/sigma), fused
+        # from the gram matrix. exp underflow is safe: d in [0, 4] and
+        # sigma ~ 0.1 keeps exp(-d/sigma) >= ~4e-18.
+        e = jnp.exp((g - 1.0) * inv2sig_ref[:])
+        w = e * pc
+        colsum1 = None
+    if variant == "fused_mxu":
+        # column sums on the MXU (a (1, K) x (K, T) matmul replaces a
+        # sublane reduction tree while the MXU sits between products)
+        ones_row = jnp.full((1, Yt_ref.shape[0]), 1.0, jnp.float32)
+        colsum = jnp.dot(ones_row, w, preferred_element_type=jnp.float32)
+    else:
+        colsum = jnp.sum(w, axis=0, keepdims=True)
     colsum_g = jnp.where(colsum == 0.0, 1.0, colsum)
-    R_n = R_n / colsum_g
+    R_n = w * (1.0 / colsum_g)
 
     # per-tile stats: this IS the add-back bookkeeping AND the next round's
     # block-old source
@@ -496,19 +520,36 @@ def _round_kernel_v2(
     )  # (K, B)
     rpend_s[:] = rpend_s[:] + jnp.sum(tO[:, :b0], axis=1, keepdims=True)
     Opend_s[:] = Opend_s[:] + tO
-    s_rd = jnp.sum(R_n * d_t)
+    if variant == "legacy":
+        s_rd = jnp.sum(R_n * (2.0 * (1.0 - g)))
+    else:
+        # sum R*d = 2*sum(R) - 2*sum(R*g); sum(R) is the tile's
+        # valid-cell count, free from the covariate-0 slice of tO
+        n_valid = jnp.sum(tO[:, :b0])
+        s_rd = 2.0 * n_valid - 2.0 * jnp.sum(R_n * g)
     accv_s[0, 0] = accv_s[0, 0] + s_rd
     if cheap_entropy:
         # sigma_k R log R factorised: log R = -d/sigma + logpen[b] -
-        # log(colsum1*colsum2). The first term contracts to -R*d; the
-        # penalty term contracts against the per-tile stats tO (one
-        # K x B product); only the two column sums need logs (2T
-        # transcendentals instead of K*T). Exact for one covariate,
-        # where pc is a gather of pen columns.
-        sR = jnp.sum(sigma_ref[:] * R_n, axis=0, keepdims=True)  # (1, T)
+        # log(colsum[1]*colsum). The first term contracts to -R*d; the
+        # penalty term contracts against the per-tile stats tO (one K x B
+        # product); the column-sum term needs sR = sigma^T R and T
+        # transcendentals instead of K*T. Exact for one covariate, where
+        # pc is a gather of pen columns. Pad columns are inert: sR = 0 and
+        # colsum_g = 1 -> log = 0.
+        if variant == "fused_mxu":
+            sR = jnp.dot(
+                sigrow_ref[:], R_n, preferred_element_type=jnp.float32
+            )  # (1, T)
+        else:
+            sR = jnp.sum(sigma_ref[:] * R_n, axis=0, keepdims=True)
+        logc = (
+            jnp.log(colsum1 * colsum_g)
+            if variant == "legacy"
+            else jnp.log(colsum_g)
+        )
         ent_t = (
             -s_rd
-            - jnp.sum(jnp.log(colsum1 * colsum_g) * sR)
+            - jnp.sum(logc * sR)
             + jnp.sum(sigma_ref[:] * tO * logpen_s[:])
         )
         accv_s[0, 1] = accv_s[0, 1] + ent_t
@@ -574,6 +615,8 @@ def pallas_rotate_update_round_v2(
             pl.BlockSpec((K, B), lambda s, sc: (0, 0)),  # O_in
             pl.BlockSpec((1, B), lambda s, sc: (0, 0)),  # Pr_b
             pl.BlockSpec((K, 1), lambda s, sc: (0, 0)),  # sigma
+            pl.BlockSpec((1, K), lambda s, sc: (0, 0)),  # sigma row
+            pl.BlockSpec((K, 1), lambda s, sc: (0, 0)),  # 2/sigma
             pl.BlockSpec((1, B), lambda s, sc: (0, 0)),  # theta
         ],
         out_specs=[
@@ -595,11 +638,14 @@ def pallas_rotate_update_round_v2(
             pltpu.SMEM((1, 2), f32),  # accv
         ],
     )
+    import os as _os
+
     kernel = pl.pallas_call(
         _partial(
             _round_kernel_v2, b0=cfg.B_vec[0],
             cheap_entropy=cfg.n_covariates == 1,
             offsets=tuple(cfg.covariate_offsets), B=B,
+            variant=_os.environ.get("HARMONY_ESTEP_VARIANT", "legacy"),
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -611,6 +657,7 @@ def pallas_rotate_update_round_v2(
         ],
         interpret=interpret,
     )
+    sig32 = sigma.astype(f32)
     R_new, tO_new, E_out, O_out, acc = kernel(
         scal,
         Y.T.astype(f32),
@@ -620,7 +667,9 @@ def pallas_rotate_update_round_v2(
         rs.E.astype(f32),
         rs.O.astype(f32),
         Pr_b.astype(f32)[None, :],
-        sigma.astype(f32)[:, None],
+        sig32[:, None],
+        sig32[None, :],
+        (2.0 / sig32)[:, None],
         theta.astype(f32)[None, :],
     )
     return RoundState(
@@ -752,7 +801,7 @@ def _reassign_kernel(
     Yt_ref,  # (K, d)
     Z_ref,  # (d, T) tile s — RAW (un-normalised) corrected embedding
     codes_ref,  # (ncov, T) tile s
-    sigma_ref,  # (K, 1)
+    inv2sig_ref,  # (K, 1) 2/sigma
     # outputs
     Zn_out_ref,  # (d, T) tile s — L2-normalised columns
     tO_out_ref,  # (1, K, B) tile s
@@ -780,14 +829,14 @@ def _reassign_kernel(
 
     ohT = _build_ohT(codes_ref, offsets, B, Z_t.shape[1])  # (B, T)
     g = jnp.dot(Yt_ref[:], Z_t, preferred_element_type=jnp.float32)
-    d_t = 2.0 * (1.0 - g)
-    R_n = jnp.exp(-d_t / sigma_ref[:])
+    # single-normalise form of exp(-2(1-g)/sigma) (see _round_kernel_v2)
+    e = jnp.exp((g - 1.0) * inv2sig_ref[:])
     # pad cells (code -1, all-zero one-hot columns) must stay inert; every
     # valid cell carries exactly `ncov` ones
     valid = jnp.sum(ohT, axis=0, keepdims=True) * (1.0 / ncov)  # (1, T)
-    R_n = R_n * valid
+    R_n = e * valid
     colsum = jnp.sum(R_n, axis=0, keepdims=True)
-    R_n = R_n / jnp.where(colsum == 0.0, 1.0, colsum)
+    R_n = R_n * (1.0 / jnp.where(colsum == 0.0, 1.0, colsum))
 
     tO = jax.lax.dot_general(
         R_n, ohT, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -860,7 +909,7 @@ def pallas_reassign(
         Y.T.astype(f32),
         Z_raw.astype(f32),
         codes_pad,
-        sigma.astype(f32)[:, None],
+        (2.0 / sigma.astype(f32))[:, None],
     )
     # E = rowsums(R) Pr_b^T (src/harmony.cpp:226); rowsums fall out of the
     # covariate-0 block of O (every valid cell carries exactly one level)
