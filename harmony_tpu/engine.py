@@ -219,6 +219,51 @@ def cluster(
         rotate_layout = ops.make_rotate_layout(cfg, state.Z_corr, state.codes)
         rotate_round = ops.rotate_update_round
 
+    # With the default clustering budget the windowed early stop cannot
+    # trigger (round r runs whenever r <= window_size + 1, so every round
+    # runs when max_iter_cluster <= window_size + 2) — the round count is
+    # static. Unrolling then lets every round but the last skip the (K, N)
+    # R write entirely (write_r=False): stats-carrying rounds never read
+    # R, so only the R feeding the M-step must ever reach HBM.
+    static_rounds = (
+        use_stats_carry
+        and cfg.max_iter_cluster <= cfg.window_size + 2
+    )
+    if static_rounds:
+        tile_O = tile_O0
+        for it in range(cfg.max_iter_cluster):
+            rs = RoundState(
+                R=state.R, E=state.E, O=state.O, tile_O=tile_O,
+                kmeans_error=jnp.float32(0), entropy=jnp.float32(0),
+            )
+            round_fn = (
+                partial(sharded_rotate_round_v2, cfg, mesh)
+                if sharded_pallas
+                else partial(pallas_rotate_update_round_v2, cfg, state.Z_corr)
+            )
+            res = round_fn(
+                state.Y, rs, state.Pr_b, state.sigma, state.theta,
+                round_keys[it], layout=rotate_layout, interpret=interpret,
+                write_r=it == cfg.max_iter_cluster - 1,
+            )
+            tile_O = res.tile_O
+            state = dataclasses.replace(state, R=res.R, E=res.E, O=res.O)
+            terms = ops.objective_from_stats(
+                cfg, res.kmeans_error, res.entropy, res.O, res.E,
+                state.sigma, state.theta,
+            )
+            state = _push_objective_terms(cfg, state, terms)
+        return dataclasses.replace(
+            state,
+            kmeans_rounds=state.kmeans_rounds.at[state.n_rounds].set(
+                cfg.max_iter_cluster
+            ),
+            objective_harmony=state.objective_harmony.at[
+                state.n_harmony
+            ].set(state.objective_kmeans[state.n_kmeans - 1]),
+            n_harmony=state.n_harmony + 1,
+        )
+
     def body(carry):
         state, tile_O, it, _ = carry
         if use_stats_carry:

@@ -102,6 +102,11 @@ def make_codes_layout(
     )
 
 
+def _covw(offsets, c: int, B: int) -> int:
+    """Level count of covariate c from the stacked offsets."""
+    return (offsets[c + 1] if c + 1 < len(offsets) else B) - offsets[c]
+
+
 def _build_ohT(codes_ref, offsets, B: int, T: int):
     """(B, T) one-hot-transpose block from this tile's int32 codes;
     sentinel codes (pads, < -B) produce all-zero columns even after the
@@ -482,7 +487,21 @@ def _round_kernel_v2(
     T = Z_t.shape[1]
     ohT = _build_ohT(codes_ref, offsets, B, T)  # (B, T)
     g = jnp.dot(Yt_ref[:], Z_t, preferred_element_type=jnp.float32)
-    pc = jnp.dot(pen_s[:], ohT, preferred_element_type=jnp.float32)
+    if B <= 32:
+        # penalty gather as a B-pass select chain: the (K,B)x(B,T) one-hot
+        # matmul pads B to 128 MXU lanes (~13x waste at B=10) and measures
+        # +2.6 us/step, while the selects hide entirely behind the tile
+        # DMA (tools/exp_round_anatomy.py); sentinel codes (pads) match no
+        # level, leaving pc = 0 exactly as the one-hot contraction does
+        pc = jnp.zeros_like(g)
+        for c, off in enumerate(offsets):
+            crow = codes_ref[c : c + 1, :] + off  # (1, T)
+            for b in range(offsets[c], offsets[c] + _covw(offsets, c, B)):
+                pc = pc + pen_s[:, b][:, None] * (crow == b).astype(
+                    jnp.float32
+                )
+    else:
+        pc = jnp.dot(pen_s[:], ohT, preferred_element_type=jnp.float32)
 
     if variant == "legacy":
         # two-normalise form, matching the reference op-for-op
@@ -585,8 +604,17 @@ def pallas_rotate_update_round_v2(
     key: jax.Array,
     layout: CodesLayout,
     interpret: bool = False,
+    write_r: bool = True,
 ) -> "RoundState":
-    """Stats-carrying rotate round: one Z/codes read + one R write per round."""
+    """Stats-carrying rotate round: one Z/codes read + one R write per round.
+
+    ``write_r=False`` skips materialising the (K, N) assignment matrix in
+    HBM entirely — the kernel's only large output becomes the tiny per-tile
+    stat table. Valid because no stats-carrying round ever *reads* R (the
+    carried tile table reconstructs block-old stats); callers use it for
+    every round except the phase's last, whose R feeds the M-step. The
+    returned ``RoundState.R`` then carries the (stale) input R unchanged.
+    """
     K, Np = rs.R.shape
     d = layout.Z_pad.shape[0]
     B = cfg.B
@@ -600,6 +628,15 @@ def pallas_rotate_update_round_v2(
     nb = blk_O.shape[0]
 
     from functools import partial as _partial
+
+    if write_r:
+        r_spec = pl.BlockSpec((K, T), lambda s, sc: (0, sc[_V2_TILE, s]))
+        r_shape = jax.ShapeDtypeStruct((K, Npt), f32)
+    else:
+        # constant index map: the single (K, T) buffer stays VMEM-resident
+        # for the whole grid and flushes once — no per-step HBM write
+        r_spec = pl.BlockSpec((K, T), lambda s, sc: (0, 0))
+        r_shape = jax.ShapeDtypeStruct((K, T), f32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -620,7 +657,7 @@ def pallas_rotate_update_round_v2(
             pl.BlockSpec((1, B), lambda s, sc: (0, 0)),  # theta
         ],
         out_specs=[
-            pl.BlockSpec((K, T), lambda s, sc: (0, sc[_V2_TILE, s])),  # R new
+            r_spec,  # R new (or the VMEM dummy)
             pl.BlockSpec((1, K, B), lambda s, sc: (sc[_V2_TILE, s], 0, 0)),
             pl.BlockSpec((K, B), lambda s, sc: (0, 0)),
             pl.BlockSpec((K, B), lambda s, sc: (0, 0)),
@@ -649,7 +686,7 @@ def pallas_rotate_update_round_v2(
         ),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((K, Npt), f32),
+            r_shape,
             jax.ShapeDtypeStruct((NT, K, B), f32),
             jax.ShapeDtypeStruct((K, B), f32),
             jax.ShapeDtypeStruct((K, B), f32),
@@ -672,8 +709,12 @@ def pallas_rotate_update_round_v2(
         (2.0 / sig32)[:, None],
         theta.astype(f32)[None, :],
     )
+    if write_r:
+        R_out = (R_new[:, :Np] if Npt != Np else R_new).astype(rs.R.dtype)
+    else:
+        R_out = rs.R  # stale by contract; never consumed before the next write
     return RoundState(
-        R=(R_new[:, :Np] if Npt != Np else R_new).astype(rs.R.dtype),
+        R=R_out,
         E=E_out.astype(rs.E.dtype),
         O=O_out.astype(rs.O.dtype),
         tile_O=tO_new,
@@ -745,6 +786,7 @@ def sharded_rotate_round_v2(
     key: jax.Array,
     layout: CodesLayout,  # Z_pad/codes_pad cell-sharded
     interpret: bool = False,
+    write_r: bool = True,
 ) -> "RoundState":
     """Stats-carrying rotate round on a cell-sharded mesh.
 
@@ -769,7 +811,7 @@ def sharded_rotate_round_v2(
         res = pallas_rotate_update_round_v2(
             cfg, Z_loc, Y, rs_loc, Pr_b, sigma, theta, k,
             layout=CodesLayout(Z_pad=Z_loc, codes_pad=codes_loc),
-            interpret=interpret,
+            interpret=interpret, write_r=write_r,
         )
         O_new = O + jax.lax.psum(res.O.astype(f32) - O, CELL_AXIS)
         E_new = E + jax.lax.psum(res.E.astype(f32) - E, CELL_AXIS)

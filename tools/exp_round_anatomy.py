@@ -176,6 +176,144 @@ def main():
             flush=True,
         )
 
+    # XLA streaming baseline: R-sized read+write, 10 chained
+    R0 = jnp.zeros((K, Npt), f32)
+
+    def xla_stream(R):
+        for _ in range(10):
+            R = R * 1.0000001 + 0.5
+        return R
+
+    t = bench_fn(jax.jit(xla_stream), R0) / 10.0
+    gbs = 2 * R0.size * 4 / t / 1e9
+    print(f"xla R read+write: {t*1e3:7.3f} ms ({gbs:5.0f} GB/s)", flush=True)
+
+
+def tile_sweep():
+    """Streaming floor vs number of per-step DMA transfers.
+
+    Hypothesis: each distinct per-step block transfer carries a fixed
+    latency cost that does not overlap, so the production kernel's ~5
+    transfers/step (Z, codes, blkO in; R, tile_O out) explain its floor.
+    The chain varies a tiny SMEM scalar per call so XLA cannot CSE the
+    calls and no large XLA-side traffic contaminates the measurement.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from harmony_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    K, d, B = 100, 50, 10
+    f32 = jnp.float32
+    rng = np.random.default_rng(0)
+    T = 4096
+    NT = 123
+    Npt = NT * T
+    Z = jnp.asarray(rng.normal(size=(d, Npt)).astype(np.float32))
+    codes = jnp.asarray(rng.integers(0, B, (1, Npt)).astype(np.int32))
+
+    def make(n_in, small_out, T=T, NT=NT):
+        def kernel(*refs):
+            # refs: i_ref(SMEM), Z_ref, [c_ref], R_ref, [tO_ref]
+            i_ref = refs[0]
+            Z_ref = refs[1]
+            R_ref = refs[1 + n_in]
+            R_ref[:] = jnp.zeros_like(R_ref) + (
+                Z_ref[0, 0] + i_ref[0, 0]
+            )
+            if small_out:
+                refs[2 + n_in][0] = jnp.zeros(
+                    (K, B), f32
+                ) + Z_ref[0, 0]
+
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((d, T), lambda s: (0, s)),
+        ]
+        args = [Z]
+        if n_in == 2:
+            in_specs.append(pl.BlockSpec((1, T), lambda s: (0, s)))
+            args.append(codes)
+        out_specs = [pl.BlockSpec((K, T), lambda s: (0, s))]
+        out_shape = [jax.ShapeDtypeStruct((K, Npt), f32)]
+        if small_out:
+            out_specs.append(pl.BlockSpec((1, K, B), lambda s: (s, 0, 0)))
+            out_shape.append(jax.ShapeDtypeStruct((NT, K, B), f32))
+        call = pl.pallas_call(
+            kernel,
+            grid=(NT,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+        )
+
+        def run(Z, codes):
+            acc = jnp.float32(0)
+            for i in range(10):
+                outs = call(
+                    jnp.full((1, 1), float(i), f32), *args
+                )
+                acc = acc + outs[0][0, 0]
+            return acc
+
+        return jax.jit(lambda Zq, c: run(Zq, c))
+
+    for name, n_in, small_out in [
+        ("1 in, 1 out", 1, False),
+        ("2 in, 1 out", 2, False),
+        ("2 in, 2 out", 2, True),
+    ]:
+        fn = make(n_in, small_out)
+        t = bench_fn(fn, Z, codes) / 10.0
+        print(
+            f"stream [{name}]: {t*1e3:7.3f} ms/pass "
+            f"({t/NT*1e6:6.2f} us/step)",
+            flush=True,
+        )
+
+    # true data-moving copy at several tile widths (same total cells)
+    for Tw in (2048, 4096, 8192):
+        NTw = Npt // Tw
+
+        def copy_kernel(i_ref, Z_ref, R_ref):
+            Z_t = Z_ref[:] + i_ref[0, 0]
+            R_ref[0:50, :] = Z_t
+            R_ref[50:100, :] = Z_t
+
+        call = pl.pallas_call(
+            copy_kernel,
+            grid=(NTw,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((d, Tw), lambda s: (0, s)),
+            ],
+            out_specs=pl.BlockSpec((K, Tw), lambda s: (0, s)),
+            out_shape=jax.ShapeDtypeStruct((K, Npt), f32),
+        )
+
+        def runc(Z):
+            acc = jnp.float32(0)
+            for i in range(10):
+                R = call(jnp.full((1, 1), float(i), f32), Z)
+                acc = acc + R[0, 0]
+            return acc
+
+        t = bench_fn(jax.jit(runc), Z) / 10.0
+        gbs = (d + K) * Npt * 4 / t / 1e9
+        print(
+            f"true copy T={Tw:5d}: {t*1e3:7.3f} ms/pass "
+            f"({t/NTw*1e6:6.2f} us/step, {gbs:5.0f} GB/s)",
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--tiles" in sys.argv:
+        tile_sweep()
+    else:
+        main()
