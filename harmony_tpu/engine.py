@@ -119,7 +119,9 @@ def cluster(
     state: HarmonyState,
     perms: Optional[jnp.ndarray] = None,
     mesh=None,
-) -> HarmonyState:
+    tiled=None,
+    return_moments: bool = False,
+):
     """One clustering phase: up to ``max_iter_cluster`` block-update rounds.
 
     Mirrors ``cluster_cpp`` (src/harmony.cpp:208-262): on re-entry after a
@@ -130,6 +132,12 @@ def cluster(
 
     ``perms`` optionally injects the (max_iter_cluster, N) cell permutations
     (parity hook); otherwise they are drawn from the state PRNG key.
+
+    With ``return_moments=True`` (and a batch-tiled layout + the static
+    round count + a single covariate on the unsharded stats-carry path),
+    the final round fuses the M-step's joint-batch moment accumulation and
+    the return value is ``(state, M | None)`` — harmony_round hands M to
+    the correction so the separate moments pass never runs.
     """
     use_rotate = cfg.shuffle_mode == "rotate" and perms is None
     use_pallas_rotate = use_rotate and cfg.estep_impl == "pallas"
@@ -230,8 +238,34 @@ def cluster(
         and cfg.max_iter_cluster <= cfg.window_size + 2
     )
     if static_rounds:
+        from .ops.pallas_rotate import MomentsSpec
+
+        moments_spec = None
+        if (
+            return_moments
+            and not sharded_pallas
+            and tiled is not None
+            and cfg.n_covariates == 1
+            and cfg.estep_sub_tile % tiled.tile == 0
+        ):
+            import numpy as np
+
+            NT_layout = rotate_layout.Z_pad.shape[1] // tiled.tile
+            n_joint = int(tiled.joint_codes.shape[1])
+            tj = np.full(NT_layout, n_joint, np.int32)
+            tj[: len(tiled.tile_joint)] = tiled.tile_joint
+            moments_spec = MomentsSpec(
+                Z_orig_pad=pad_cells_to_tile(
+                    cfg, state.Z_orig
+                ).astype(jnp.float32),
+                tile_joint=jnp.asarray(tj),
+                n_joint=n_joint,
+                tile=int(tiled.tile),
+            )
+        M = None
         tile_O = tile_O0
         for it in range(cfg.max_iter_cluster):
+            last = it == cfg.max_iter_cluster - 1
             rs = RoundState(
                 R=state.R, E=state.E, O=state.O, tile_O=tile_O,
                 kmeans_error=jnp.float32(0), entropy=jnp.float32(0),
@@ -244,8 +278,15 @@ def cluster(
             res = round_fn(
                 state.Y, rs, state.Pr_b, state.sigma, state.theta,
                 round_keys[it], layout=rotate_layout, interpret=interpret,
-                write_r=it == cfg.max_iter_cluster - 1,
+                write_r=last,
+                **(
+                    {"moments": moments_spec}
+                    if last and moments_spec is not None
+                    else {}
+                ),
             )
+            if last and moments_spec is not None:
+                res, M = res
             tile_O = res.tile_O
             state = dataclasses.replace(state, R=res.R, E=res.E, O=res.O)
             terms = ops.objective_from_stats(
@@ -253,7 +294,7 @@ def cluster(
                 state.sigma, state.theta,
             )
             state = _push_objective_terms(cfg, state, terms)
-        return dataclasses.replace(
+        state = dataclasses.replace(
             state,
             kmeans_rounds=state.kmeans_rounds.at[state.n_rounds].set(
                 cfg.max_iter_cluster
@@ -263,6 +304,7 @@ def cluster(
             ].set(state.objective_kmeans[state.n_kmeans - 1]),
             n_harmony=state.n_harmony + 1,
         )
+        return (state, M) if return_moments else state
 
     def body(carry):
         state, tile_O, it, _ = carry
@@ -322,18 +364,18 @@ def cluster(
         ),
         n_harmony=state.n_harmony + 1,
     )
-    return state
+    return (state, None) if return_moments else state
 
 
 def correct(
     cfg: HarmonyConfig, state: HarmonyState, segments=None, onehots=None,
-    tiled=None,
+    tiled=None, tiled_moments=None,
 ) -> HarmonyState:
     """M-step: MoE ridge correction + centroid refresh (src/harmony.cpp:345-638)."""
     Z_corr, Y_new, _ = ops.moe_correct_ridge(
         cfg, state.Z_orig, state.R, state.O, state.E, state.codes,
         state.batch_sizes, state.lamb, state.Y, segments=segments,
-        onehots=onehots, tiled=tiled,
+        onehots=onehots, tiled=tiled, tiled_moments=tiled_moments,
     )
     return dataclasses.replace(
         state, Z_corr=Z_corr, Y=Y_new, n_rounds=state.n_rounds + 1
@@ -350,11 +392,15 @@ def harmony_round(
     per-round pair of engine calls, R/utils.R:26,35); fusing them into one
     jitted dispatch saves a host->device dispatch per round, which is
     measurable through a remote-dispatch tunnel (~6 ms/round on the
-    canonical bench shape).
+    canonical bench shape). When the final round fused the M-step moments
+    (see cluster), they flow straight into the correction here.
     """
+    state, M = cluster(
+        cfg, state, mesh=mesh, tiled=tiled, return_moments=True
+    )
     return correct(
-        cfg, cluster(cfg, state, mesh=mesh), segments=segments,
-        onehots=onehots, tiled=tiled,
+        cfg, state, segments=segments, onehots=onehots, tiled=tiled,
+        tiled_moments=M,
     )
 
 

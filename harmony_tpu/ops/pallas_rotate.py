@@ -352,6 +352,18 @@ class RoundState(NamedTuple):
     entropy: jnp.ndarray
 
 
+class MomentsSpec(NamedTuple):
+    """Inputs for fusing the M-step joint-batch moments into the phase's
+    final round (see pallas_rotate_update_round_v2). ``tile_joint`` maps
+    every layout tile (width ``tile``, NT*msub entries incl. the mixed/pad
+    tail mapped to slot ``n_joint``) to its joint-batch id."""
+
+    Z_orig_pad: jnp.ndarray  # (d, Npt) original embedding, tile-aligned
+    tile_joint: jnp.ndarray  # (Npt // tile,) int32
+    n_joint: int
+    tile: int  # layout-tile width (divides estep_sub_tile)
+
+
 def tile_stats_from_R(
     cfg: HarmonyConfig, R: jnp.ndarray, oh_pad: jnp.ndarray
 ) -> jnp.ndarray:
@@ -417,6 +429,7 @@ def _block_old_stats(
 
 def _round_kernel_v2(
     scal_ref,  # (_V2_ROWS, NT) int32 step table
+    tj_ref,  # (NT*msub,) int32 layout-tile -> joint id (moments only)
     # inputs
     Yt_ref,  # (K, d)
     Z_ref,  # (d, T) tile at scal[_V2_TILE, s]
@@ -429,27 +442,21 @@ def _round_kernel_v2(
     sigrow_ref,  # (1, K) sigma again, lane-major for the MXU row-sums
     inv2sig_ref,  # (K, 1) 2/sigma
     theta_ref,  # (1, B)
-    # outputs
-    R_out_ref,  # (K, T) tile at scal[_V2_TILE, s]
-    tO_out_ref,  # (1, K, B) tile at scal[_V2_TILE, s]
-    E_out_ref,  # (K, B)
-    O_out_ref,  # (K, B)
-    acc_ref,  # (1, 2) SMEM
-    # scratch
-    E_s,  # (K, B)
-    O_s,  # (K, B)
-    pen_s,  # (K, B)
-    logpen_s,  # (K, B)
-    rpend_s,  # (K, 1)
-    Opend_s,  # (K, B)
-    accv_s,  # (1, 2) SMEM
-    *,
+    *rest,  # [Zo_ref (d, T) Z_orig tile] + outputs + scratch
     b0: int,  # levels of covariate 0 (intercept row-sum slice)
     cheap_entropy: bool,  # single covariate: factorised sigma*R*logR
     offsets: tuple,  # covariate offsets into the global batch rows
     B: int,
     variant: str = "legacy",  # 'legacy' | 'fused_vpu' | 'fused_mxu'
+    msub: int = 0,  # layout sub-tiles per grid tile (M-step moment fusion)
 ):
+    if msub:
+        (Zo_ref, R_out_ref, tO_out_ref, E_out_ref, O_out_ref, M_out_ref,
+         acc_ref, E_s, O_s, pen_s, logpen_s, rpend_s, Opend_s, Macc_s,
+         accv_s) = rest
+    else:
+        (R_out_ref, tO_out_ref, E_out_ref, O_out_ref, acc_ref,
+         E_s, O_s, pen_s, logpen_s, rpend_s, Opend_s, accv_s) = rest
     s = pl.program_id(0)
     n_steps = pl.num_programs(0)
     first = scal_ref[_V2_FIRST, s]
@@ -461,6 +468,8 @@ def _round_kernel_v2(
         O_s[:] = O_in_ref[:]
         accv_s[0, 0] = 0.0
         accv_s[0, 1] = 0.0
+        if msub:
+            Macc_s[...] = jnp.zeros_like(Macc_s)
 
     @pl.when(first == 1)
     def _():
@@ -579,6 +588,30 @@ def _round_kernel_v2(
     R_out_ref[:] = R_n
     tO_out_ref[0] = tO
 
+    if msub:
+        # M-step moment fusion: this round is the phase's last, so R_n IS
+        # the R the correction consumes — accumulate its joint-batch
+        # moments against Z_orig right here. The sub-tile matmuls split
+        # the same contraction the tO product already pays for, and the
+        # separate O(K·N·d) moments pass over R and Z_orig disappears
+        # (src/harmony.cpp:561 moments via ops/pallas_ridge.py otherwise).
+        Zo = Zo_ref[:]  # (d, T) Z_orig tile
+        Tl = Z_t.shape[1] // msub
+        tile = scal_ref[_V2_TILE, s]
+        for j in range(msub):
+            sl = slice(j * Tl, (j + 1) * Tl)
+            R_sl = R_n[:, sl]
+            S = jax.lax.dot_general(
+                R_sl, Zo[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (K, d)
+            S = jnp.concatenate(
+                [S, jnp.sum(R_sl, axis=1, keepdims=True)], axis=1
+            )
+            jid = tj_ref[tile * msub + j]
+            Macc_s[pl.ds(jid, 1)] = Macc_s[pl.ds(jid, 1)] + S[None]
+
     @pl.when(last == 1)
     def _():
         # commit the block's new contribution (src/harmony.cpp:329-330)
@@ -591,6 +624,8 @@ def _round_kernel_v2(
         O_out_ref[:] = O_s[:]
         acc_ref[0, 0] = accv_s[0, 0]
         acc_ref[0, 1] = accv_s[0, 1]
+        if msub:
+            M_out_ref[...] = Macc_s[...]
 
 
 def pallas_rotate_update_round_v2(
@@ -605,7 +640,8 @@ def pallas_rotate_update_round_v2(
     layout: CodesLayout,
     interpret: bool = False,
     write_r: bool = True,
-) -> "RoundState":
+    moments: "MomentsSpec | None" = None,
+):
     """Stats-carrying rotate round: one Z/codes read + one R write per round.
 
     ``write_r=False`` skips materialising the (K, N) assignment matrix in
@@ -614,6 +650,12 @@ def pallas_rotate_update_round_v2(
     carried tile table reconstructs block-old stats); callers use it for
     every round except the phase's last, whose R feeds the M-step. The
     returned ``RoundState.R`` then carries the (stale) input R unchanged.
+
+    ``moments`` (a :class:`MomentsSpec`) fuses the M-step's joint-batch
+    moment accumulation into this round: the kernel additionally reads the
+    Z_orig tile and returns the (n_joint+1, K, d+1) moment table of the
+    freshly written R — the separate O(K·N·d) moments pass then never runs.
+    When given, the return value is ``(RoundState, M)``.
     """
     K, Np = rs.R.shape
     d = layout.Z_pad.shape[0]
@@ -630,50 +672,78 @@ def pallas_rotate_update_round_v2(
     from functools import partial as _partial
 
     if write_r:
-        r_spec = pl.BlockSpec((K, T), lambda s, sc: (0, sc[_V2_TILE, s]))
+        r_spec = pl.BlockSpec((K, T), lambda s, sc, tj: (0, sc[_V2_TILE, s]))
         r_shape = jax.ShapeDtypeStruct((K, Npt), f32)
     else:
         # constant index map: the single (K, T) buffer stays VMEM-resident
         # for the whole grid and flushes once — no per-step HBM write
-        r_spec = pl.BlockSpec((K, T), lambda s, sc: (0, 0))
+        r_spec = pl.BlockSpec((K, T), lambda s, sc, tj: (0, 0))
         r_shape = jax.ShapeDtypeStruct((K, T), f32)
 
+    in_specs = [
+        pl.BlockSpec((K, d), lambda s, sc, tj: (0, 0)),  # Y^T
+        pl.BlockSpec((d, T), lambda s, sc, tj: (0, sc[_V2_TILE, s])),  # Z
+        pl.BlockSpec(
+            (ncov, T), lambda s, sc, tj: (0, sc[_V2_TILE, s])
+        ),  # codes
+        pl.BlockSpec((1, K, B), lambda s, sc, tj: (sc[_V2_BLK, s], 0, 0)),
+        pl.BlockSpec((K, B), lambda s, sc, tj: (0, 0)),  # E_in
+        pl.BlockSpec((K, B), lambda s, sc, tj: (0, 0)),  # O_in
+        pl.BlockSpec((1, B), lambda s, sc, tj: (0, 0)),  # Pr_b
+        pl.BlockSpec((K, 1), lambda s, sc, tj: (0, 0)),  # sigma
+        pl.BlockSpec((1, K), lambda s, sc, tj: (0, 0)),  # sigma row
+        pl.BlockSpec((K, 1), lambda s, sc, tj: (0, 0)),  # 2/sigma
+        pl.BlockSpec((1, B), lambda s, sc, tj: (0, 0)),  # theta
+    ]
+    out_specs = [
+        r_spec,  # R new (or the VMEM dummy)
+        pl.BlockSpec((1, K, B), lambda s, sc, tj: (sc[_V2_TILE, s], 0, 0)),
+        pl.BlockSpec((K, B), lambda s, sc, tj: (0, 0)),
+        pl.BlockSpec((K, B), lambda s, sc, tj: (0, 0)),
+    ]
+    out_shape = [
+        r_shape,
+        jax.ShapeDtypeStruct((NT, K, B), f32),
+        jax.ShapeDtypeStruct((K, B), f32),
+        jax.ShapeDtypeStruct((K, B), f32),
+    ]
+    scratch = [
+        pltpu.VMEM((K, B), f32),  # E_s
+        pltpu.VMEM((K, B), f32),  # O_s
+        pltpu.VMEM((K, B), f32),  # pen_s
+        pltpu.VMEM((K, B), f32),  # logpen_s
+        pltpu.VMEM((K, 1), f32),  # rpend
+        pltpu.VMEM((K, B), f32),  # Opend
+    ]
+    msub = 0
+    if moments is not None:
+        msub = T // moments.tile
+        nj = moments.n_joint
+        in_specs.append(
+            pl.BlockSpec((d, T), lambda s, sc, tj: (0, sc[_V2_TILE, s]))
+        )  # Z_orig
+        out_specs.append(
+            pl.BlockSpec((nj + 1, K, d + 1), lambda s, sc, tj: (0, 0, 0))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((nj + 1, K, d + 1), f32))
+        scratch.append(pltpu.VMEM((nj + 1, K, d + 1), f32))  # Macc
+        tj = moments.tile_joint
+        extra_in = (moments.Z_orig_pad,)
+    else:
+        tj = jnp.zeros((1,), jnp.int32)
+        extra_in = ()
+    out_specs.append(
+        pl.BlockSpec((1, 2), lambda s, sc, tj: (0, 0), memory_space=pltpu.SMEM)
+    )
+    out_shape.append(jax.ShapeDtypeStruct((1, 2), f32))
+    scratch.append(pltpu.SMEM((1, 2), f32))  # accv
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(NT,),
-        in_specs=[
-            pl.BlockSpec((K, d), lambda s, sc: (0, 0)),  # Y^T
-            pl.BlockSpec((d, T), lambda s, sc: (0, sc[_V2_TILE, s])),  # Z
-            pl.BlockSpec(
-                (ncov, T), lambda s, sc: (0, sc[_V2_TILE, s])
-            ),  # codes
-            pl.BlockSpec((1, K, B), lambda s, sc: (sc[_V2_BLK, s], 0, 0)),
-            pl.BlockSpec((K, B), lambda s, sc: (0, 0)),  # E_in
-            pl.BlockSpec((K, B), lambda s, sc: (0, 0)),  # O_in
-            pl.BlockSpec((1, B), lambda s, sc: (0, 0)),  # Pr_b
-            pl.BlockSpec((K, 1), lambda s, sc: (0, 0)),  # sigma
-            pl.BlockSpec((1, K), lambda s, sc: (0, 0)),  # sigma row
-            pl.BlockSpec((K, 1), lambda s, sc: (0, 0)),  # 2/sigma
-            pl.BlockSpec((1, B), lambda s, sc: (0, 0)),  # theta
-        ],
-        out_specs=[
-            r_spec,  # R new (or the VMEM dummy)
-            pl.BlockSpec((1, K, B), lambda s, sc: (sc[_V2_TILE, s], 0, 0)),
-            pl.BlockSpec((K, B), lambda s, sc: (0, 0)),
-            pl.BlockSpec((K, B), lambda s, sc: (0, 0)),
-            pl.BlockSpec(
-                (1, 2), lambda s, sc: (0, 0), memory_space=pltpu.SMEM
-            ),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((K, B), f32),  # E_s
-            pltpu.VMEM((K, B), f32),  # O_s
-            pltpu.VMEM((K, B), f32),  # pen_s
-            pltpu.VMEM((K, B), f32),  # logpen_s
-            pltpu.VMEM((K, 1), f32),  # rpend
-            pltpu.VMEM((K, B), f32),  # Opend
-            pltpu.SMEM((1, 2), f32),  # accv
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     import os as _os
 
@@ -683,20 +753,16 @@ def pallas_rotate_update_round_v2(
             cheap_entropy=cfg.n_covariates == 1,
             offsets=tuple(cfg.covariate_offsets), B=B,
             variant=_os.environ.get("HARMONY_ESTEP_VARIANT", "legacy"),
+            msub=msub,
         ),
         grid_spec=grid_spec,
-        out_shape=[
-            r_shape,
-            jax.ShapeDtypeStruct((NT, K, B), f32),
-            jax.ShapeDtypeStruct((K, B), f32),
-            jax.ShapeDtypeStruct((K, B), f32),
-            jax.ShapeDtypeStruct((1, 2), f32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )
     sig32 = sigma.astype(f32)
-    R_new, tO_new, E_out, O_out, acc = kernel(
+    outs = kernel(
         scal,
+        tj,
         Y.T.astype(f32),
         layout.Z_pad,
         layout.codes_pad,
@@ -708,12 +774,17 @@ def pallas_rotate_update_round_v2(
         sig32[None, :],
         (2.0 / sig32)[:, None],
         theta.astype(f32)[None, :],
+        *extra_in,
     )
+    if moments is not None:
+        R_new, tO_new, E_out, O_out, M, acc = outs
+    else:
+        R_new, tO_new, E_out, O_out, acc = outs
     if write_r:
         R_out = (R_new[:, :Np] if Npt != Np else R_new).astype(rs.R.dtype)
     else:
         R_out = rs.R  # stale by contract; never consumed before the next write
-    return RoundState(
+    res = RoundState(
         R=R_out,
         E=E_out.astype(rs.E.dtype),
         O=O_out.astype(rs.O.dtype),
@@ -721,6 +792,7 @@ def pallas_rotate_update_round_v2(
         kmeans_error=acc[0, 0],
         entropy=acc[0, 1],
     )
+    return (res, M) if moments is not None else res
 
 
 # --------------------------------------------------------------------------

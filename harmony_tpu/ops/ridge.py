@@ -81,6 +81,7 @@ def moe_correct_ridge(
     segments=None,  # tuple[CovariateSegments] -> tiled O(K N d) moment path
     onehots=None,  # precomputed per-covariate (N, B_c) one-hot designs
     tiled=None,  # ops.tiled.TiledCells -> batch-tiled O(K N d) moment path
+    tiled_moments=None,  # (n_joint+1, K, d+1) table fused into the E-step
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Return (Z_corr, Y_new, W) — W is (K, B+1, d) with intercept rows zeroed.
 
@@ -131,7 +132,7 @@ def moe_correct_ridge(
         R_eff = R.astype(f32)
         if tiled is not None:
             O_all, rhs_all, cross_blocks, ctx = _moments_tiled(
-                cfg, R_eff, Zf, codes, tiled
+                cfg, R_eff, Zf, codes, tiled, precomputed=tiled_moments
             )
         elif segments is None:
             O_all, rhs_all, cross_blocks, ctx = _moments_dense(
@@ -313,13 +314,16 @@ def _correction_dense(cfg, W, R_eff, onehots):
     return corr
 
 
-def _moments_tiled(cfg, R_eff, Zf, codes, tiled):
+def _moments_tiled(cfg, R_eff, Zf, codes, tiled, precomputed=None):
     """Batch-tiled moments: O(K·N·d), streaming layouts (see ops/tiled.py).
 
     One unsegmented (K, T)x(T, d+1) matmul per cell tile (Pallas), then
     tiny segment-sums over the static tile->joint-batch table recover the
     per-batch blocks. The trailing mixed region (< n_joint·T cells of
     group remainders + pads) goes through the dense one-hot path.
+    ``precomputed`` supplies the (n_joint+1, K, d+1) table when the E-step's
+    final round already accumulated it (moment fusion) — the streaming pass
+    over R and Z then never runs.
     """
     import jax as _jax
 
@@ -329,10 +333,13 @@ def _moments_tiled(cfg, R_eff, Zf, codes, tiled):
     K = cfg.K
     interp = _jax.default_backend() == "cpu"
     n_joint = tiled.joint_codes.shape[1]
-    M = pallas_tile_moments(
-        cfg, R_eff, Zf, tiled.tile, jnp.asarray(tiled.tile_joint),
-        n_joint, interpret=interp,
-    )
+    if precomputed is not None:
+        M = precomputed
+    else:
+        M = pallas_tile_moments(
+            cfg, R_eff, Zf, tiled.tile, jnp.asarray(tiled.tile_joint),
+            n_joint, interpret=interp,
+        )
     seg = M[:n_joint]  # (n_joint, K, d+1); trailing mixed/pad row dropped
 
     # trailing mixed region: group remainders + pad cells (inert, R == 0)

@@ -235,3 +235,56 @@ class TestMixtureGate:
 
         # 250k cells, 100 joint levels: 128-tile -> 0.98 tiles/group/block
         assert choose_tiled_tile(self._cfg(250_000), 100) is None
+
+
+def test_fused_mstep_moments_match_separate_pass():
+    """The final-round moment fusion (pallas_rotate moments=...) must match
+    the separate pallas_tile_moments pass through a full harmony round."""
+    from harmony_tpu.config import harmony_options
+    from harmony_tpu.engine import cluster, correct, make_engine
+    from harmony_tpu.preprocess import (
+        build_design, expand_hyperparams, orient_embedding, resolve_config,
+    )
+    from harmony_tpu.state import init_state
+
+    rng = np.random.default_rng(7)
+    N, d, B = 4096, 8, 3
+    batches = rng.integers(0, B, N)
+    Z = rng.normal(size=(N, d)).astype(np.float32)
+    design = build_design({"dataset": batches}, ["dataset"])
+    options = harmony_options()
+    cfg = resolve_config(
+        n_cells=N, d=d, design=design, nclust=8, max_iter=3,
+        early_stop=False, options=options, verbose=False,
+    )
+    cfg = dataclasses.replace(
+        cfg, shuffle_mode="rotate", estep_impl="pallas",
+        estep_sub_tile=512, mstep_tile=128, mstep_mode="tiled",
+    )
+    perm, _ = build_batch_tiled_order(design.codes, 128, seed=0)
+    Zt = orient_embedding(Z, N)[:, perm]
+    design = dataclasses.replace(design, codes=design.codes[:, perm])
+    hp = expand_hyperparams(design, cfg.K, None, 0.1, 1.0, options.tau)
+    state = init_state(
+        cfg, Zt, design, hp.sigma, hp.theta, hp.lamb, jax.random.PRNGKey(3)
+    )
+    tiled = detect_tiled_layout(np.asarray(state.codes), cfg.N, 128)
+    assert tiled is not None
+    engine = make_engine(cfg, codes=state.codes)
+    state = engine.init_cluster(state)
+
+    # same PRNG path both ways: cluster once, correct twice
+    st, M = cluster(cfg, state, tiled=tiled, return_moments=True)
+    assert M is not None, "fusion gate did not activate"
+    out_fused = correct(cfg, st, tiled=tiled, tiled_moments=M)
+    out_sep = correct(cfg, st, tiled=tiled, tiled_moments=None)
+    # the fused table accumulates in rotate-processed tile order, the
+    # separate pass in physical order: fp32 reordering through the ridge
+    # solve leaves ~1e-5-absolute differences
+    np.testing.assert_allclose(
+        np.asarray(out_fused.Z_corr), np.asarray(out_sep.Z_corr),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_fused.Y), np.asarray(out_sep.Y), atol=2e-4,
+    )

@@ -310,10 +310,191 @@ def tile_sweep():
         )
 
 
+def layout_sweep():
+    """2D strided blocks vs 3D contiguous tiles: is the 290 GB/s floor the
+    per-row DMA descriptor overhead of (rows, T) blocks cut from (rows, N)
+    arrays? A (1, rows, T) block of a (NT, rows, T) array is one
+    contiguous stripe."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from harmony_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    K, d, T, NT = 100, 50, 4096, 123
+    Npt = NT * T
+    f32 = jnp.float32
+    rng = np.random.default_rng(0)
+    Z2 = jnp.asarray(rng.normal(size=(d, Npt)).astype(np.float32))
+    Z3 = jnp.asarray(
+        rng.normal(size=(NT, d, T)).astype(np.float32)
+    )
+
+    def make(in3, out3):
+        def kernel(i_ref, Z_ref, R_ref):
+            Z_t = (Z_ref[0] if in3 else Z_ref[:]) + i_ref[0, 0]
+            if out3:
+                R_ref[0, 0:50, :] = Z_t
+                R_ref[0, 50:100, :] = Z_t
+            else:
+                R_ref[0:50, :] = Z_t
+                R_ref[50:100, :] = Z_t
+
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, d, T), lambda s: (s, 0, 0))
+            if in3
+            else pl.BlockSpec((d, T), lambda s: (0, s)),
+        ]
+        out_spec = (
+            pl.BlockSpec((1, K, T), lambda s: (s, 0, 0))
+            if out3
+            else pl.BlockSpec((K, T), lambda s: (0, s))
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((NT, K, T), f32)
+            if out3
+            else jax.ShapeDtypeStruct((K, Npt), f32)
+        )
+        call = pl.pallas_call(
+            kernel, grid=(NT,), in_specs=in_specs,
+            out_specs=out_spec, out_shape=out_shape,
+        )
+
+        def run(Z):
+            acc = jnp.float32(0)
+            for i in range(10):
+                R = call(jnp.full((1, 1), float(i), f32), Z)
+                acc = acc + (R[0, 0, 0] if out3 else R[0, 0])
+            return acc
+
+        return jax.jit(run)
+
+    for name, in3, out3 in [
+        ("2D in, 2D out", False, False),
+        ("3D in, 2D out", True, False),
+        ("2D in, 3D out", False, True),
+        ("3D in, 3D out", True, True),
+    ]:
+        fn = make(in3, out3)
+        t = bench_fn(fn, Z3 if in3 else Z2) / 10.0
+        gbs = (d + K) * Npt * 4 / t / 1e9
+        print(
+            f"copy [{name}]: {t*1e3:7.3f} ms/pass "
+            f"({t/NT*1e6:6.2f} us/step, {gbs:5.0f} GB/s)",
+            flush=True,
+        )
+
+    # sublane alignment: same copies with 8-aligned row counts
+    def make_aligned(Kr, dr, in3, out3):
+        Zn = jnp.asarray(
+            rng.normal(size=(NT, dr, T) if in3 else (dr, Npt)).astype(
+                np.float32
+            )
+        )
+
+        def kernel(i_ref, Z_ref, R_ref):
+            Z_t = (Z_ref[0] if in3 else Z_ref[:]) + i_ref[0, 0]
+            half = Kr // 2
+            if out3:
+                R_ref[0, 0:half, :] = Z_t[0:half, :] if dr >= half else (
+                    jnp.zeros((half, T), f32) + Z_t[0, 0])
+                R_ref[0, half:Kr, :] = R_ref[0, 0:half, :]
+            else:
+                R_ref[0:half, :] = Z_t[0:half, :] if dr >= half else (
+                    jnp.zeros((half, T), f32) + Z_t[0, 0])
+                R_ref[half:Kr, :] = R_ref[0:half, :]
+
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, dr, T), lambda s: (s, 0, 0))
+            if in3
+            else pl.BlockSpec((dr, T), lambda s: (0, s)),
+        ]
+        out_spec = (
+            pl.BlockSpec((1, Kr, T), lambda s: (s, 0, 0))
+            if out3
+            else pl.BlockSpec((Kr, T), lambda s: (0, s))
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((NT, Kr, T), f32)
+            if out3
+            else jax.ShapeDtypeStruct((Kr, Npt), f32)
+        )
+        call = pl.pallas_call(
+            kernel, grid=(NT,), in_specs=in_specs,
+            out_specs=out_spec, out_shape=out_shape,
+        )
+
+        def run(Z):
+            acc = jnp.float32(0)
+            for i in range(10):
+                R = call(jnp.full((1, 1), float(i), f32), Z)
+                acc = acc + (R[0, 0, 0] if out3 else R[0, 0])
+            return acc
+
+        return jax.jit(run), Zn, (dr + Kr) * Npt * 4
+
+    for name, Kr, dr, in3, out3 in [
+        ("K=104 2D out", 104, 56, False, False),
+        ("K=104 3D out", 104, 56, True, True),
+        ("K=128 2D out", 128, 64, False, False),
+        ("K=128 3D out", 128, 64, True, True),
+    ]:
+        fn, Zn, nbytes = make_aligned(Kr, dr, in3, out3)
+        t = bench_fn(fn, Zn) / 10.0
+        gbs = nbytes / t / 1e9
+        print(
+            f"copy [{name}]: {t*1e3:7.3f} ms/pass "
+            f"({t/NT*1e6:6.2f} us/step, {gbs:5.0f} GB/s)",
+            flush=True,
+        )
+
+    # dimension semantics: does 'parallel' unlock deeper DMA overlap?
+    for sem in ("arbitrary", "parallel"):
+        def kernel(i_ref, Z_ref, R_ref):
+            Z_t = Z_ref[:] + i_ref[0, 0]
+            R_ref[0:50, :] = Z_t
+            R_ref[50:100, :] = Z_t
+
+        call = pl.pallas_call(
+            kernel,
+            grid=(NT,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((d, T), lambda s: (0, s)),
+            ],
+            out_specs=pl.BlockSpec((K, T), lambda s: (0, s)),
+            out_shape=jax.ShapeDtypeStruct((K, Npt), f32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(sem,)
+            ),
+        )
+
+        def runp(Z):
+            acc = jnp.float32(0)
+            for i in range(10):
+                R = call(jnp.full((1, 1), float(i), f32), Z)
+                acc = acc + R[0, 0]
+            return acc
+
+        t = bench_fn(jax.jit(runp), Z2) / 10.0
+        gbs = (d + K) * Npt * 4 / t / 1e9
+        print(
+            f"copy [sem={sem:9s}]: {t*1e3:7.3f} ms/pass "
+            f"({t/NT*1e6:6.2f} us/step, {gbs:5.0f} GB/s)",
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     import sys
 
     if "--tiles" in sys.argv:
         tile_sweep()
+    elif "--layout" in sys.argv:
+        layout_sweep()
     else:
         main()
