@@ -160,9 +160,12 @@ def save_checkpoint_orbax(path: str, cfg: HarmonyConfig, state: HarmonyState):
         ckptr.save(
             path,
             {
+                # None-valued optionals (the virtual-R context) are
+                # dropped; load restores them as None defaults
                 "state": {
                     f: getattr(state, f)
                     for f in state.__dataclass_fields__
+                    if getattr(state, f) is not None
                 },
                 # orbax trees hold arrays only; config rides as JSON bytes
                 "config": np.frombuffer(

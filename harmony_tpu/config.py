@@ -182,6 +182,12 @@ class HarmonyConfig:
     # round never re-reads R from HBM (ops/pallas_rotate.py v2); False falls
     # back to the two-phase kernel that recovers block stats by streaming R.
     rotate_stats_carry: bool = True
+    # Virtual R: on the single-covariate batch-tiled stats-carry path, no
+    # round writes the (K, N) assignment matrix at all — the correction
+    # recomputes assignments from the final round's tiny penalty table, and
+    # the user-facing R materialises once per run (engine.materialize_r).
+    # Trajectories are bit-compatible with virtual_r=False on that path.
+    virtual_r: bool = True
     # Cell-shuffle strategy for the block updates. 'permute' reproduces the
     # reference exactly (fresh random permutation per round; costs one
     # indexed gather/scatter of the K x N state per round). 'rotate'

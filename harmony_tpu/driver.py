@@ -72,7 +72,9 @@ def harmonize(
         # including the convergence test — as one device program
         # (engine.run_rounds). Per-round host round-trips otherwise cost
         # ~6 ms each through a remote-dispatch tunnel.
-        return engine.run_rounds(state, jnp.int32(max_iter))
+        state = engine.run_rounds(state, jnp.int32(max_iter))
+        # virtual-R runs rematerialise the user-facing R once per run
+        return engine.materialize_r(state)
 
     for it in range(max_iter):
         if abort is not None and abort.aborted():
@@ -88,7 +90,10 @@ def harmonize(
         if checkpoint_path and (it + 1) % checkpoint_every == 0:
             from .checkpoint import save_checkpoint
 
-            save_checkpoint(checkpoint_path, cfg, state, mode="minimal")
+            save_checkpoint(
+                checkpoint_path, cfg, engine.materialize_r(state),
+                mode="minimal",
+            )
         if verbose:
             obj = float(state.objective_harmony[int(state.n_harmony) - 1])
             logger.info(
@@ -99,7 +104,7 @@ def harmonize(
             if verbose:
                 logger.info("Harmony converged after %d iterations", it + 1)
             break
-    return state
+    return engine.materialize_r(state)
 
 
 def run(

@@ -114,6 +114,21 @@ def _kmeans_window_converged(cfg: HarmonyConfig, state: HarmonyState) -> jnp.nda
     return jnp.abs(obj_old - obj_new) / jnp.abs(obj_old) < cfg.epsilon_cluster
 
 
+def _virtual_gate(cfg: HarmonyConfig, tiled, mesh) -> bool:
+    """May this run use virtual R (no (K, N) writes during rounds)?"""
+    return (
+        cfg.virtual_r
+        and mesh is None
+        and tiled is not None
+        and cfg.shuffle_mode == "rotate"
+        and cfg.estep_impl == "pallas"
+        and cfg.rotate_stats_carry
+        and cfg.max_iter_cluster <= cfg.window_size + 2
+        and cfg.n_covariates == 1
+        and cfg.estep_sub_tile % tiled.tile == 0
+    )
+
+
 def cluster(
     cfg: HarmonyConfig,
     state: HarmonyState,
@@ -121,6 +136,7 @@ def cluster(
     mesh=None,
     tiled=None,
     return_moments: bool = False,
+    virtual: bool = False,
 ):
     """One clustering phase: up to ``max_iter_cluster`` block-update rounds.
 
@@ -238,7 +254,7 @@ def cluster(
         and cfg.max_iter_cluster <= cfg.window_size + 2
     )
     if static_rounds:
-        from .ops.pallas_rotate import MomentsSpec
+        from .ops.pallas_rotate import MomentsSpec, VirtualR
 
         moments_spec = None
         if (
@@ -262,7 +278,14 @@ def cluster(
                 n_joint=n_joint,
                 tile=int(tiled.tile),
             )
+        # Virtual R (gated): no round writes R; the final round emits the
+        # penalty table + schedule map the correction and the run-end
+        # materialisation recompute assignments from.
+        use_virtual = virtual and moments_spec is not None and _virtual_gate(
+            cfg, tiled, mesh
+        )
         M = None
+        virt = None
         tile_O = tile_O0
         for it in range(cfg.max_iter_cluster):
             last = it == cfg.max_iter_cluster - 1
@@ -275,17 +298,24 @@ def cluster(
                 if sharded_pallas
                 else partial(pallas_rotate_update_round_v2, cfg, state.Z_corr)
             )
+            kw = {}
+            if last and moments_spec is not None:
+                kw["moments"] = moments_spec
+            if last and use_virtual:
+                kw["emit_pen"] = True
             res = round_fn(
                 state.Y, rs, state.Pr_b, state.sigma, state.theta,
                 round_keys[it], layout=rotate_layout, interpret=interpret,
-                write_r=last,
-                **(
-                    {"moments": moments_spec}
-                    if last and moments_spec is not None
-                    else {}
-                ),
+                write_r=last and not use_virtual, **kw,
             )
-            if last and moments_spec is not None:
+            if last and use_virtual:
+                res, M, (pen, blkmap) = res
+                virt = VirtualR(
+                    pen=pen, blkmap=blkmap, Zn_pad=rotate_layout.Z_pad,
+                    codes_pad=rotate_layout.codes_pad, Y=state.Y,
+                    Z_orig_pad=moments_spec.Z_orig_pad, sigma=state.sigma,
+                )
+            elif last and moments_spec is not None:
                 res, M = res
             tile_O = res.tile_O
             state = dataclasses.replace(state, R=res.R, E=res.E, O=res.O)
@@ -304,6 +334,8 @@ def cluster(
             ].set(state.objective_kmeans[state.n_kmeans - 1]),
             n_harmony=state.n_harmony + 1,
         )
+        if virtual:
+            return state, M, virt
         return (state, M) if return_moments else state
 
     def body(carry):
@@ -364,18 +396,21 @@ def cluster(
         ),
         n_harmony=state.n_harmony + 1,
     )
+    if virtual:
+        return state, None, None
     return (state, None) if return_moments else state
 
 
 def correct(
     cfg: HarmonyConfig, state: HarmonyState, segments=None, onehots=None,
-    tiled=None, tiled_moments=None,
+    tiled=None, tiled_moments=None, virtual=None,
 ) -> HarmonyState:
     """M-step: MoE ridge correction + centroid refresh (src/harmony.cpp:345-638)."""
     Z_corr, Y_new, _ = ops.moe_correct_ridge(
         cfg, state.Z_orig, state.R, state.O, state.E, state.codes,
         state.batch_sizes, state.lamb, state.Y, segments=segments,
         onehots=onehots, tiled=tiled, tiled_moments=tiled_moments,
+        virtual=virtual,
     )
     return dataclasses.replace(
         state, Z_corr=Z_corr, Y=Y_new, n_rounds=state.n_rounds + 1
@@ -393,8 +428,26 @@ def harmony_round(
     jitted dispatch saves a host->device dispatch per round, which is
     measurable through a remote-dispatch tunnel (~6 ms/round on the
     canonical bench shape). When the final round fused the M-step moments
-    (see cluster), they flow straight into the correction here.
+    (see cluster), they flow straight into the correction here; on the
+    virtual-R path the correction also recomputes assignments from the
+    final round's penalty table and the virtual context persists in the
+    state for the run-end R materialisation.
     """
+    if _virtual_gate(cfg, tiled, mesh):
+        state, M, virt = cluster(
+            cfg, state, mesh=mesh, tiled=tiled, return_moments=True,
+            virtual=True,
+        )
+        state = correct(
+            cfg, state, segments=segments, onehots=onehots, tiled=tiled,
+            tiled_moments=M, virtual=virt,
+        )
+        if virt is not None:
+            state = dataclasses.replace(
+                state, virt_pen=virt.pen, virt_blkmap=virt.blkmap,
+                virt_Zn=virt.Zn_pad, virt_Y=virt.Y,
+            )
+        return state
     state, M = cluster(
         cfg, state, mesh=mesh, tiled=tiled, return_moments=True
     )
@@ -402,6 +455,24 @@ def harmony_round(
         cfg, state, segments=segments, onehots=onehots, tiled=tiled,
         tiled_moments=M,
     )
+
+
+def materialize_r(cfg: HarmonyConfig, state: HarmonyState) -> HarmonyState:
+    """Turn a virtual-R state's context back into the user-facing (K, N)
+    assignment matrix — the R the last clustering round would have written
+    (getR parity, src/harmony.cpp:646-649). Identity when the run did not
+    use virtual R."""
+    if state.virt_pen is None:
+        return state
+    from .ops.pallas_rotate import make_codes_pad, pallas_materialize_r
+
+    codes_pad = make_codes_pad(cfg, state.codes)
+    R = pallas_materialize_r(
+        cfg, state.virt_Y, state.sigma, state.virt_pen, state.virt_blkmap,
+        state.virt_Zn, codes_pad,
+        interpret=jax.default_backend() == "cpu",
+    )
+    return dataclasses.replace(state, R=R.astype(state.R.dtype))
 
 
 def harmony_converged(cfg: HarmonyConfig, state: HarmonyState) -> jnp.ndarray:
@@ -433,6 +504,22 @@ def run_rounds(
     capacity.
     """
 
+    if _virtual_gate(cfg, tiled, mesh) and state.virt_pen is None:
+        # pre-fill the virtual-R context so the loop carry structure is
+        # stable (the first round replaces these with real values)
+        T = cfg.estep_sub_tile
+        Npt = -(-cfg.Np // T) * T
+        NT = Npt // T
+        nb = min(cfg.n_blocks, NT)
+        f32 = jnp.float32
+        state = dataclasses.replace(
+            state,
+            virt_pen=jnp.zeros((nb, cfg.K, cfg.B), f32),
+            virt_blkmap=jnp.zeros((NT,), jnp.int32),
+            virt_Zn=jnp.zeros((cfg.d, Npt), f32),
+            virt_Y=jnp.zeros((cfg.d, cfg.K), f32),
+        )
+
     def body(carry):
         s, i, _ = carry
         s = harmony_round(
@@ -461,6 +548,7 @@ class Engine:
     round: callable
     run_rounds: callable
     harmony_converged: callable
+    materialize_r: callable
 
 
 def _with_precision(cfg: HarmonyConfig, fn):
@@ -541,7 +629,7 @@ def make_engine(cfg: HarmonyConfig, codes=None, mesh=None) -> Engine:
         cfg=cfg,
         init_cluster=jit(init_cluster),
         init_cluster_from=jit(init_cluster_from),
-        cluster=jit(cluster, donate=donate, mesh=mesh),
+        cluster=jit(cluster, donate=donate, mesh=mesh, tiled=tiled),
         correct=jit(correct, donate=donate, segments=segments,
                     onehots=onehots, tiled=tiled),
         round=jit(harmony_round, donate=donate, segments=segments,
@@ -549,4 +637,5 @@ def make_engine(cfg: HarmonyConfig, codes=None, mesh=None) -> Engine:
         run_rounds=jit(run_rounds, donate=donate, segments=segments,
                        onehots=onehots, tiled=tiled, mesh=mesh),
         harmony_converged=jit(harmony_converged),
+        materialize_r=jit(materialize_r),
     )

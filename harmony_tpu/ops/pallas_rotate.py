@@ -341,6 +341,67 @@ _V2_LAST = 3  # last step of the block
 _V2_ROWS = 4
 
 
+def _assign_tile(
+    Yt, Z_t, codes_ref, pen, sigma_col, inv2sig_col, *, offsets, B, variant
+):
+    """Assignments of one (d, T) tile against block-removed penalty ``pen``.
+
+    The exact op sequence of the reference's per-block update
+    (src/harmony.cpp:318-323). Shared by the round kernel and the
+    virtual-R recompute/materialise kernels, which must reproduce the
+    round's assignments BIT-IDENTICALLY — per-column results depend only
+    on (Y, the cell's column, pen, sigma) and the op order fixed here, not
+    on tile boundaries. Returns (R_n, ohT, g, colsum1, colsum_g).
+    """
+    T = Z_t.shape[1]
+    ohT = _build_ohT(codes_ref, offsets, B, T)  # (B, T)
+    g = jnp.dot(Yt, Z_t, preferred_element_type=jnp.float32)
+    if B <= 32:
+        # penalty gather as a B-pass select chain: the (K,B)x(B,T) one-hot
+        # matmul pads B to 128 MXU lanes (~13x waste at B=10) and measures
+        # +2.6 us/step, while the selects hide entirely behind the tile
+        # DMA (tools/exp_round_anatomy.py); sentinel codes (pads) match no
+        # level, leaving pc = 0 exactly as the one-hot contraction does
+        pc = jnp.zeros_like(g)
+        for c, off in enumerate(offsets):
+            crow = codes_ref[c : c + 1, :] + off  # (1, T)
+            for b in range(offsets[c], offsets[c] + _covw(offsets, c, B)):
+                pc = pc + pen[:, b][:, None] * (crow == b).astype(
+                    jnp.float32
+                )
+    else:
+        pc = jnp.dot(pen, ohT, preferred_element_type=jnp.float32)
+
+    if variant == "legacy":
+        # two-normalise form, matching the reference op-for-op
+        # (src/harmony.cpp:319-323)
+        d_t = 2.0 * (1.0 - g)
+        e = jnp.exp(-d_t / sigma_col)
+        colsum1 = jnp.sum(e, axis=0, keepdims=True)
+        w = (e / colsum1) * pc
+    else:
+        # single-normalise form: the reference's softmax normaliser
+        # cancels in exact arithmetic, so apply ONE normalise to
+        # w = exp(-d/sigma) * pen — the elementwise chain over the (K, T)
+        # tile is the VPU bottleneck of the whole E-step and this form
+        # needs ~half the passes. -d/sigma = (g - 1) * (2/sigma), fused
+        # from the gram matrix. exp underflow is safe: d in [0, 4] and
+        # sigma ~ 0.1 keeps exp(-d/sigma) >= ~4e-18.
+        e = jnp.exp((g - 1.0) * inv2sig_col)
+        w = e * pc
+        colsum1 = None
+    if variant == "fused_mxu":
+        # column sums on the MXU (a (1, K) x (K, T) matmul replaces a
+        # sublane reduction tree while the MXU sits between products)
+        ones_row = jnp.full((1, Yt.shape[0]), 1.0, jnp.float32)
+        colsum = jnp.dot(ones_row, w, preferred_element_type=jnp.float32)
+    else:
+        colsum = jnp.sum(w, axis=0, keepdims=True)
+    colsum_g = jnp.where(colsum == 0.0, 1.0, colsum)
+    R_n = w * (1.0 / colsum_g)
+    return R_n, ohT, g, colsum1, colsum_g
+
+
 class RoundState(NamedTuple):
     """Carry for stats-carrying rotate rounds."""
 
@@ -350,6 +411,19 @@ class RoundState(NamedTuple):
     tile_O: jnp.ndarray  # (NT, K, B) per-tile O contributions of R
     kmeans_error: jnp.ndarray
     entropy: jnp.ndarray
+
+
+class VirtualR(NamedTuple):
+    """Everything the virtual-R correction / materialisation needs to
+    reproduce the final round's assignments (see the virtual-R section)."""
+
+    pen: jnp.ndarray  # (nb, K, B) per-block penalties of the final round
+    blkmap: jnp.ndarray  # (NT,) physical tile -> block
+    Zn_pad: jnp.ndarray  # (d, Npt) the phase's normalised layout
+    codes_pad: jnp.ndarray  # (ncov, Npt)
+    Y: jnp.ndarray  # (d, K) centroids the final round used
+    Z_orig_pad: jnp.ndarray  # (d, Npt)
+    sigma: jnp.ndarray  # (K,)
 
 
 class MomentsSpec(NamedTuple):
@@ -449,14 +523,21 @@ def _round_kernel_v2(
     B: int,
     variant: str = "legacy",  # 'legacy' | 'fused_vpu' | 'fused_mxu'
     msub: int = 0,  # layout sub-tiles per grid tile (M-step moment fusion)
+    emit_pen: bool = False,  # emit the per-block penalty table (virtual R)
 ):
-    if msub:
-        (Zo_ref, R_out_ref, tO_out_ref, E_out_ref, O_out_ref, M_out_ref,
-         acc_ref, E_s, O_s, pen_s, logpen_s, rpend_s, Opend_s, Macc_s,
-         accv_s) = rest
-    else:
-        (R_out_ref, tO_out_ref, E_out_ref, O_out_ref, acc_ref,
-         E_s, O_s, pen_s, logpen_s, rpend_s, Opend_s, accv_s) = rest
+    it = iter(rest)
+    Zo_ref = next(it) if msub else None
+    R_out_ref, tO_out_ref, E_out_ref, O_out_ref = (
+        next(it), next(it), next(it), next(it),
+    )
+    M_out_ref = next(it) if msub else None
+    pen_out_ref = next(it) if emit_pen else None
+    acc_ref = next(it)
+    E_s, O_s, pen_s, logpen_s, rpend_s, Opend_s = (
+        next(it), next(it), next(it), next(it), next(it), next(it),
+    )
+    Macc_s = next(it) if msub else None
+    accv_s = next(it)
     s = pl.program_id(0)
     n_steps = pl.num_programs(0)
     first = scal_ref[_V2_FIRST, s]
@@ -488,57 +569,21 @@ def _round_kernel_v2(
         logpen_s[:] = jnp.log(ratio) * theta_ref[0, :][None, :]
         rpend_s[:] = jnp.zeros_like(rpend_s)
         Opend_s[:] = jnp.zeros_like(Opend_s)
+        if emit_pen:
+            # persist the block-removed penalty: with it (+ the schedule's
+            # tile->block map) any later kernel reproduces this round's
+            # assignments without R ever reaching HBM
+            blk = scal_ref[_V2_BLK, s]
+            pen_out_ref[pl.ds(blk, 1)] = pen_s[:][None]
 
     # assignments for this tile against the block-removed stats
     # (src/harmony.cpp:318-323); invalid cells (code -1) have all-zero
     # one-hot columns, so the guarded normalise leaves inert zero columns.
     Z_t = Z_ref[:]  # (d, T)
-    T = Z_t.shape[1]
-    ohT = _build_ohT(codes_ref, offsets, B, T)  # (B, T)
-    g = jnp.dot(Yt_ref[:], Z_t, preferred_element_type=jnp.float32)
-    if B <= 32:
-        # penalty gather as a B-pass select chain: the (K,B)x(B,T) one-hot
-        # matmul pads B to 128 MXU lanes (~13x waste at B=10) and measures
-        # +2.6 us/step, while the selects hide entirely behind the tile
-        # DMA (tools/exp_round_anatomy.py); sentinel codes (pads) match no
-        # level, leaving pc = 0 exactly as the one-hot contraction does
-        pc = jnp.zeros_like(g)
-        for c, off in enumerate(offsets):
-            crow = codes_ref[c : c + 1, :] + off  # (1, T)
-            for b in range(offsets[c], offsets[c] + _covw(offsets, c, B)):
-                pc = pc + pen_s[:, b][:, None] * (crow == b).astype(
-                    jnp.float32
-                )
-    else:
-        pc = jnp.dot(pen_s[:], ohT, preferred_element_type=jnp.float32)
-
-    if variant == "legacy":
-        # two-normalise form, matching the reference op-for-op
-        # (src/harmony.cpp:319-323)
-        d_t = 2.0 * (1.0 - g)
-        e = jnp.exp(-d_t / sigma_ref[:])
-        colsum1 = jnp.sum(e, axis=0, keepdims=True)
-        w = (e / colsum1) * pc
-    else:
-        # single-normalise form: the reference's softmax normaliser
-        # cancels in exact arithmetic, so apply ONE normalise to
-        # w = exp(-d/sigma) * pen — the elementwise chain over the (K, T)
-        # tile is the VPU bottleneck of the whole E-step and this form
-        # needs ~half the passes. -d/sigma = (g - 1) * (2/sigma), fused
-        # from the gram matrix. exp underflow is safe: d in [0, 4] and
-        # sigma ~ 0.1 keeps exp(-d/sigma) >= ~4e-18.
-        e = jnp.exp((g - 1.0) * inv2sig_ref[:])
-        w = e * pc
-        colsum1 = None
-    if variant == "fused_mxu":
-        # column sums on the MXU (a (1, K) x (K, T) matmul replaces a
-        # sublane reduction tree while the MXU sits between products)
-        ones_row = jnp.full((1, Yt_ref.shape[0]), 1.0, jnp.float32)
-        colsum = jnp.dot(ones_row, w, preferred_element_type=jnp.float32)
-    else:
-        colsum = jnp.sum(w, axis=0, keepdims=True)
-    colsum_g = jnp.where(colsum == 0.0, 1.0, colsum)
-    R_n = w * (1.0 / colsum_g)
+    R_n, ohT, g, colsum1, colsum_g = _assign_tile(
+        Yt_ref[:], Z_t, codes_ref, pen_s[:], sigma_ref[:], inv2sig_ref[:],
+        offsets=offsets, B=B, variant=variant,
+    )
 
     # per-tile stats: this IS the add-back bookkeeping AND the next round's
     # block-old source
@@ -641,6 +686,7 @@ def pallas_rotate_update_round_v2(
     interpret: bool = False,
     write_r: bool = True,
     moments: "MomentsSpec | None" = None,
+    emit_pen: bool = False,
 ):
     """Stats-carrying rotate round: one Z/codes read + one R write per round.
 
@@ -655,7 +701,14 @@ def pallas_rotate_update_round_v2(
     moment accumulation into this round: the kernel additionally reads the
     Z_orig tile and returns the (n_joint+1, K, d+1) moment table of the
     freshly written R — the separate O(K·N·d) moments pass then never runs.
-    When given, the return value is ``(RoundState, M)``.
+
+    ``emit_pen`` additionally returns (pen (nb, K, B), blk_of_phys (NT,)):
+    the per-block penalty matrices and the physical-tile -> block map of
+    this round's schedule, from which _assign_tile reproduces every
+    assignment bit-identically (the virtual-R correction path).
+
+    Return value: RoundState, extended to a tuple
+    ``(RoundState[, M][, (pen, blk_of_phys)])`` per the flags.
     """
     K, Np = rs.R.shape
     d = layout.Z_pad.shape[0]
@@ -732,6 +785,11 @@ def pallas_rotate_update_round_v2(
     else:
         tj = jnp.zeros((1,), jnp.int32)
         extra_in = ()
+    if emit_pen:
+        out_specs.append(
+            pl.BlockSpec((nb, K, B), lambda s, sc, tj: (0, 0, 0))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((nb, K, B), f32))
     out_specs.append(
         pl.BlockSpec((1, 2), lambda s, sc, tj: (0, 0), memory_space=pltpu.SMEM)
     )
@@ -754,6 +812,7 @@ def pallas_rotate_update_round_v2(
             offsets=tuple(cfg.covariate_offsets), B=B,
             variant=_os.environ.get("HARMONY_ESTEP_VARIANT", "legacy"),
             msub=msub,
+            emit_pen=emit_pen,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -776,10 +835,13 @@ def pallas_rotate_update_round_v2(
         theta.astype(f32)[None, :],
         *extra_in,
     )
-    if moments is not None:
-        R_new, tO_new, E_out, O_out, M, acc = outs
-    else:
-        R_new, tO_new, E_out, O_out, acc = outs
+    it_out = iter(outs)
+    R_new, tO_new, E_out, O_out = (
+        next(it_out), next(it_out), next(it_out), next(it_out),
+    )
+    M = next(it_out) if moments is not None else None
+    pen = next(it_out) if emit_pen else None
+    acc = next(it_out)
     if write_r:
         R_out = (R_new[:, :Np] if Npt != Np else R_new).astype(rs.R.dtype)
     else:
@@ -792,7 +854,17 @@ def pallas_rotate_update_round_v2(
         kmeans_error=acc[0, 0],
         entropy=acc[0, 1],
     )
-    return (res, M) if moments is not None else res
+    out = (res,)
+    if moments is not None:
+        out = out + (M,)
+    if emit_pen:
+        # physical tile -> processed block of THIS round's schedule (tiny
+        # scatter; scal rows: tile at _V2_TILE, block at _V2_BLK)
+        blk_of_phys = jnp.zeros((NT,), jnp.int32).at[scal[_V2_TILE]].set(
+            scal[_V2_BLK]
+        )
+        out = out + ((pen, blk_of_phys),)
+    return out[0] if len(out) == 1 else out
 
 
 # --------------------------------------------------------------------------
@@ -1030,6 +1102,230 @@ def pallas_reassign(
     rsum = jnp.sum(O[:, : cfg.B_vec[0]], axis=1)
     E = rsum[:, None] * Pr_b.astype(f32)[None, :]
     return Zn, tile_O, O, E
+
+
+# --------------------------------------------------------------------------
+# Virtual R: the assignment matrix never reaches HBM during a run.
+#
+# A stats-carrying round's R is a pure function of (Y, the normalised
+# layout Zn, the per-block penalty matrices pen, sigma) — everything else
+# (E/O bookkeeping) only shaped pen. With the final round emitting pen
+# (~nb*K*B floats) and its tile->block map, the M-step can recompute any
+# tile's assignments in VMEM (bit-identically: _assign_tile is shared and
+# per-column results don't depend on tile boundaries). So:
+#   * every round runs write_r=False (no (K, N) HBM write at all);
+#   * moments come fused from the final round (MomentsSpec);
+#   * the correction kernel below recomputes R per tile and applies the
+#     per-joint betas in one pass: Zn read + Z_orig read + Z_corr write;
+#   * the user-facing R materialises ONCE per run (pallas_materialize_r)
+#     from the persisted (Zn, pen, blk map, Y) of the last cluster phase.
+# --------------------------------------------------------------------------
+
+
+def _virtual_correction_kernel(
+    tj_ref,  # (NT*msub,) layout tile -> joint id
+    blkmap_ref,  # (NT,) physical tile -> schedule block
+    # inputs
+    Yt_ref,  # (K, d) centroids the final round used
+    Zn_ref,  # (d, T) normalised layout tile s
+    codes_ref,  # (ncov, T)
+    pen_ref,  # (nb, K, B) per-block penalties (VMEM-resident)
+    sigma_ref,  # (K, 1)
+    inv2sig_ref,  # (K, 1)
+    Wj_ref,  # (nj+1, dp, K) per-joint betas; trash row zero
+    Zo_ref,  # (d, T) original embedding tile
+    # outputs
+    Zc_ref,  # (d, T) corrected embedding
+    *,
+    offsets: tuple,
+    B: int,
+    variant: str,
+    msub: int,
+    d: int,
+):
+    s = pl.program_id(0)
+    blk = blkmap_ref[s]
+    pen = pen_ref[pl.ds(blk, 1)][0]  # (K, B)
+    R_n, _, _, _, _ = _assign_tile(
+        Yt_ref[:], Zn_ref[:], codes_ref, pen, sigma_ref[:],
+        inv2sig_ref[:], offsets=offsets, B=B, variant=variant,
+    )
+    Zo = Zo_ref[:]
+    T = Zo.shape[1]
+    Tl = T // msub
+    for j in range(msub):
+        sl = slice(j * Tl, (j + 1) * Tl)
+        jid = tj_ref[s * msub + j]
+        Wj = Wj_ref[pl.ds(jid, 1)][0]  # (dp, K)
+        corr = jax.lax.dot_general(
+            Wj, R_n[:, sl], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (dp, Tl)
+        Zc_ref[:, sl] = Zo[:, sl] - corr[0:d, :]
+
+
+def pallas_virtual_correction(
+    cfg: HarmonyConfig,
+    W_joint: jnp.ndarray,  # (n_joint + 1, d, K); trash row zeros
+    tile_joint: jnp.ndarray,  # (Npt // tile,) int32 incl. trash tail
+    layout_tile: int,
+    Y: jnp.ndarray,  # (d, K) centroids the final round used
+    sigma: jnp.ndarray,  # (K,)
+    pen: jnp.ndarray,  # (nb, K, B)
+    blk_of_phys: jnp.ndarray,  # (NT,)
+    Zn_pad: jnp.ndarray,  # (d, Npt) the final phase's layout
+    codes_pad: jnp.ndarray,  # (ncov, Npt)
+    Z_orig_pad: jnp.ndarray,  # (d, Npt)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Z_corr = Z_orig - W^T Phi R (src/harmony.cpp:613-616) with R
+    recomputed in VMEM from the final round's penalty table. Mixed/pad
+    layout tiles hit the trash beta row (zero) and pass Z_orig through —
+    the caller patches their correction (tiny tail) in XLA."""
+    import os as _os
+    from functools import partial as _partial
+
+    K, d, B = cfg.K, cfg.d, cfg.B
+    T = cfg.estep_sub_tile
+    f32 = jnp.float32
+    Npt = Zn_pad.shape[1]
+    NT = Npt // T
+    msub = T // layout_tile
+    nb = pen.shape[0]
+    nj1 = W_joint.shape[0]
+    dp = -(-d // 8) * 8
+    Wp = W_joint.astype(f32)
+    if dp != d:
+        Wp = jnp.concatenate(
+            [Wp, jnp.zeros((nj1, dp - d, K), f32)], axis=1
+        )
+    sig32 = sigma.astype(f32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(NT,),
+        in_specs=[
+            pl.BlockSpec((K, d), lambda s, tj, bm: (0, 0)),
+            pl.BlockSpec((d, T), lambda s, tj, bm: (0, s)),
+            pl.BlockSpec(
+                (cfg.n_covariates, T), lambda s, tj, bm: (0, s)
+            ),
+            pl.BlockSpec((nb, K, B), lambda s, tj, bm: (0, 0, 0)),
+            pl.BlockSpec((K, 1), lambda s, tj, bm: (0, 0)),
+            pl.BlockSpec((K, 1), lambda s, tj, bm: (0, 0)),
+            pl.BlockSpec((nj1, dp, K), lambda s, tj, bm: (0, 0, 0)),
+            pl.BlockSpec((d, T), lambda s, tj, bm: (0, s)),
+        ],
+        out_specs=pl.BlockSpec((d, T), lambda s, tj, bm: (0, s)),
+    )
+    kernel = pl.pallas_call(
+        _partial(
+            _virtual_correction_kernel,
+            offsets=tuple(cfg.covariate_offsets), B=B,
+            variant=_os.environ.get("HARMONY_ESTEP_VARIANT", "legacy"),
+            msub=msub, d=d,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((d, Npt), f32),
+        interpret=interpret,
+    )
+    return kernel(
+        tile_joint.astype(jnp.int32),
+        blk_of_phys.astype(jnp.int32),
+        Y.T.astype(f32),
+        Zn_pad,
+        codes_pad,
+        pen.astype(f32),
+        sig32[:, None],
+        (2.0 / sig32)[:, None],
+        Wp,
+        Z_orig_pad.astype(f32),
+    )
+
+
+def _materialize_r_kernel(
+    blkmap_ref,  # (NT,)
+    Yt_ref,  # (K, d)
+    Zn_ref,  # (d, T)
+    codes_ref,  # (ncov, T)
+    pen_ref,  # (nb, K, B)
+    sigma_ref,  # (K, 1)
+    inv2sig_ref,  # (K, 1)
+    R_ref,  # (K, T) out
+    *,
+    offsets: tuple,
+    B: int,
+    variant: str,
+):
+    s = pl.program_id(0)
+    blk = blkmap_ref[s]
+    pen = pen_ref[pl.ds(blk, 1)][0]
+    R_n, _, _, _, _ = _assign_tile(
+        Yt_ref[:], Zn_ref[:], codes_ref, pen, sigma_ref[:],
+        inv2sig_ref[:], offsets=offsets, B=B, variant=variant,
+    )
+    R_ref[:] = R_n
+
+
+def pallas_materialize_r(
+    cfg: HarmonyConfig,
+    Y: jnp.ndarray,  # (d, K) centroids the final round used
+    sigma: jnp.ndarray,
+    pen: jnp.ndarray,  # (nb, K, B)
+    blk_of_phys: jnp.ndarray,  # (NT,)
+    Zn_pad: jnp.ndarray,  # (d, Npt)
+    codes_pad: jnp.ndarray,  # (ncov, Npt)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """The (K, Np) assignment matrix of the last clustering round, exactly
+    as the round would have written it — runs once per run when the user
+    (or a checkpoint) needs R (getR parity, src/harmony.cpp:646-649)."""
+    import os as _os
+    from functools import partial as _partial
+
+    K, d, B = cfg.K, cfg.d, cfg.B
+    T = cfg.estep_sub_tile
+    f32 = jnp.float32
+    Npt = Zn_pad.shape[1]
+    NT = Npt // T
+    nb = pen.shape[0]
+    sig32 = sigma.astype(f32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NT,),
+        in_specs=[
+            pl.BlockSpec((K, d), lambda s, bm: (0, 0)),
+            pl.BlockSpec((d, T), lambda s, bm: (0, s)),
+            pl.BlockSpec(
+                (cfg.n_covariates, T), lambda s, bm: (0, s)
+            ),
+            pl.BlockSpec((nb, K, B), lambda s, bm: (0, 0, 0)),
+            pl.BlockSpec((K, 1), lambda s, bm: (0, 0)),
+            pl.BlockSpec((K, 1), lambda s, bm: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((K, T), lambda s, bm: (0, s)),
+    )
+    kernel = pl.pallas_call(
+        _partial(
+            _materialize_r_kernel,
+            offsets=tuple(cfg.covariate_offsets), B=B,
+            variant=_os.environ.get("HARMONY_ESTEP_VARIANT", "legacy"),
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, Npt), f32),
+        interpret=interpret,
+    )
+    R = kernel(
+        blk_of_phys.astype(jnp.int32),
+        Y.T.astype(f32),
+        Zn_pad,
+        codes_pad,
+        pen.astype(f32),
+        sig32[:, None],
+        (2.0 / sig32)[:, None],
+    )
+    return R[:, : cfg.Np] if Npt != cfg.Np else R
 
 
 def pallas_rotate_update_round(

@@ -82,6 +82,7 @@ def moe_correct_ridge(
     onehots=None,  # precomputed per-covariate (N, B_c) one-hot designs
     tiled=None,  # ops.tiled.TiledCells -> batch-tiled O(K N d) moment path
     tiled_moments=None,  # (n_joint+1, K, d+1) table fused into the E-step
+    virtual=None,  # pallas_rotate.VirtualR -> R never read; recomputed
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Return (Z_corr, Y_new, W) — W is (K, B+1, d) with intercept rows zeroed.
 
@@ -129,8 +130,18 @@ def moe_correct_ridge(
         # and keep-mask the moments. This skips the (K, N) cell-mask
         # gather AND the lax.cond around it — whose identity branch still
         # costs a full copy of R per call.
-        R_eff = R.astype(f32)
-        if tiled is not None:
+        #
+        # Virtual R: the state's R is stale by contract; the moments came
+        # fused from the E-step's final round, and the trailing mixed
+        # region's assignments are recomputed from the penalty table.
+        R_eff = None if virtual is not None else R.astype(f32)
+        if virtual is not None:
+            tail_R = _virtual_tail_r(cfg, virtual, tiled.n_pure)
+            O_all, rhs_all, cross_blocks, ctx = _moments_tiled(
+                cfg, R_eff, Zf, codes, tiled, precomputed=tiled_moments,
+                tail_R=tail_R,
+            )
+        elif tiled is not None:
             O_all, rhs_all, cross_blocks, ctx = _moments_tiled(
                 cfg, R_eff, Zf, codes, tiled, precomputed=tiled_moments
             )
@@ -243,6 +254,11 @@ def moe_correct_ridge(
 
     # ---- Correction: Z_corr = Z_orig - sum_k W_k^T Phi_Rk ----------------
     # Per cell n: correction = sum_k R_eff[k,n] * sum_c W[k, 1+code_c(n), :]
+    if virtual is not None:
+        Z_corr = _correction_virtual(cfg, W, ctx, tiled, virtual).astype(
+            Z_orig.dtype
+        )
+        return Z_corr, Y_new, W
     if use_pallas:
         Z_corr = pallas_correction(
             cfg, W[:, 1:, :], R, Zf, oh_full, interpret=interp
@@ -314,7 +330,8 @@ def _correction_dense(cfg, W, R_eff, onehots):
     return corr
 
 
-def _moments_tiled(cfg, R_eff, Zf, codes, tiled, precomputed=None):
+def _moments_tiled(cfg, R_eff, Zf, codes, tiled, precomputed=None,
+                   tail_R=None):
     """Batch-tiled moments: O(K·N·d), streaming layouts (see ops/tiled.py).
 
     One unsegmented (K, T)x(T, d+1) matmul per cell tile (Pallas), then
@@ -344,10 +361,10 @@ def _moments_tiled(cfg, R_eff, Zf, codes, tiled, precomputed=None):
 
     # trailing mixed region: group remainders + pad cells (inert, R == 0)
     n_pure = tiled.n_pure
-    Np = R_eff.shape[1]
+    Np = cfg.Np
     tail = Np - n_pure
     if tail:
-        R_t = R_eff[:, n_pure:]
+        R_t = tail_R if tail_R is not None else R_eff[:, n_pure:]
         Za_t = jnp.concatenate(
             [Zf[:, n_pure:], jnp.ones((1, tail), f32)], axis=0
         )
@@ -441,6 +458,94 @@ def _correction_tiled(cfg, W, R_eff, Zf, ctx, tiled):
         for c, oh in enumerate(tail_oh):
             o = cfg.covariate_offsets[c]
             Wc = W[:, 1 + o : 1 + o + cfg.B_vec[c], :]
+            t = jnp.einsum(
+                "kn,nb,kbd->dn", R_t, oh, Wc, preferred_element_type=f32
+            )
+            corr_t = t if corr_t is None else corr_t + t
+        Z_corr = Z_corr.at[:, tiled.n_pure :].add(-corr_t)
+    return Z_corr
+
+
+def _virtual_tail_r(cfg, virt, n_pure):
+    """(K, tail) assignments of the trailing mixed/pad cells, recomputed
+    from the final round's penalty table with the same op sequence as the
+    kernels' _assign_tile (single covariate; XLA on the small tail)."""
+    import os
+
+    f32 = jnp.float32
+    Np = cfg.Np
+    T = cfg.estep_sub_tile
+    tail = Np - n_pure
+    Zn_t = virt.Zn_pad[:, n_pure:Np].astype(f32)  # (d, tail)
+    code = virt.codes_pad[0, n_pure:Np]  # sentinels (<0) on pads
+    tiles = (n_pure + jnp.arange(tail)) // T
+    blk = virt.blkmap[tiles]  # (tail,)
+    valid = (code >= 0).astype(f32)
+    code_c = jnp.clip(code, 0, cfg.B - 1)
+    pc = virt.pen[blk, :, code_c].T * valid[None, :]  # (K, tail)
+    g = jnp.dot(
+        virt.Y.T.astype(f32), Zn_t, preferred_element_type=f32
+    )  # (K, tail)
+    sigma = virt.sigma.astype(f32)[:, None]
+    variant = os.environ.get("HARMONY_ESTEP_VARIANT", "legacy")
+    if variant == "legacy":
+        e = jnp.exp(-(2.0 * (1.0 - g)) / sigma)
+        colsum1 = jnp.sum(e, axis=0, keepdims=True)
+        w = (e / colsum1) * pc
+    else:
+        e = jnp.exp((g - 1.0) * (2.0 / sigma))
+        w = e * pc
+    colsum = jnp.sum(w, axis=0, keepdims=True)
+    return w * (1.0 / jnp.where(colsum == 0.0, 1.0, colsum))
+
+
+def _correction_virtual(cfg, W, ctx, tiled, virt):
+    """Correction with R recomputed in VMEM from the penalty table (see
+    ops/pallas_rotate.py, virtual-R section). Pure layout tiles run in the
+    fused kernel; the mixed tail gets the dense patch from its recomputed
+    assignments (ctx carries them from _moments_tiled)."""
+    import jax as _jax
+
+    from .pallas_rotate import pallas_virtual_correction
+
+    f32 = jnp.float32
+    interp = _jax.default_backend() == "cpu"
+    n_joint = tiled.joint_codes.shape[1]
+
+    # per-joint betas (single covariate)
+    o = cfg.covariate_offsets[0]
+    W_joint = jnp.take(
+        W[:, 1 + o : 1 + o + cfg.B_vec[0], :],
+        jnp.asarray(tiled.joint_codes[0]),
+        axis=1,
+    )  # (K, n_joint, d)
+    W_joint = jnp.transpose(W_joint, (1, 2, 0)).astype(f32)
+    W_joint = jnp.concatenate(
+        [W_joint, jnp.zeros((1,) + W_joint.shape[1:], f32)], axis=0
+    )
+
+    import numpy as np
+
+    NT_layout = virt.Zn_pad.shape[1] // tiled.tile
+    tj = np.full(NT_layout, n_joint, np.int32)
+    tj[: len(tiled.tile_joint)] = tiled.tile_joint
+
+    Z_corr = pallas_virtual_correction(
+        cfg, W_joint, jnp.asarray(tj), tiled.tile, virt.Y, virt.sigma,
+        virt.pen, virt.blkmap, virt.Zn_pad, virt.codes_pad,
+        virt.Z_orig_pad, interpret=interp,
+    )
+    Np = cfg.Np
+    if Z_corr.shape[1] != Np:
+        Z_corr = Z_corr[:, :Np]
+
+    tail = Np - tiled.n_pure
+    if tail:
+        R_t, tail_oh = ctx
+        corr_t = None
+        for c, oh in enumerate(tail_oh):
+            oc = cfg.covariate_offsets[c]
+            Wc = W[:, 1 + oc : 1 + oc + cfg.B_vec[c], :]
             t = jnp.einsum(
                 "kn,nb,kbd->dn", R_t, oh, Wc, preferred_element_type=f32
             )

@@ -75,6 +75,18 @@ class HarmonyState:
     # RNG
     key: jax.Array
 
+    # Virtual-R context (rotate stats-carry runs with virtual correction
+    # only; None otherwise): everything needed to reproduce the LAST
+    # clustering round's assignments without R ever having been written —
+    # per-block penalties, the schedule's tile->block map, the round's
+    # normalised layout and the centroids it used (ops/pallas_rotate.py,
+    # virtual-R section). engine.materialize_r turns these back into the
+    # user-facing R (getR parity, src/harmony.cpp:646-649).
+    virt_pen: jax.Array | None = None  # (nb, K, B) f32
+    virt_blkmap: jax.Array | None = None  # (NT,) int32
+    virt_Zn: jax.Array | None = None  # (d, Npt) f32
+    virt_Y: jax.Array | None = None  # (d, K) f32
+
     @property
     def converged_flag(self) -> jax.Array:
         """Placeholder; harmony convergence is evaluated by the driver."""

@@ -288,3 +288,61 @@ def test_fused_mstep_moments_match_separate_pass():
     np.testing.assert_allclose(
         np.asarray(out_fused.Y), np.asarray(out_sep.Y), atol=2e-4,
     )
+
+
+def test_virtual_r_matches_materialized_path():
+    """virtual_r=True must reproduce the virtual_r=False run: same Z_corr
+    trajectory and the materialised R equals the round-written R."""
+    from harmony_tpu.config import harmony_options
+    from harmony_tpu.engine import make_engine, materialize_r
+    from harmony_tpu.preprocess import (
+        build_design, expand_hyperparams, orient_embedding, resolve_config,
+    )
+    from harmony_tpu.state import init_state
+
+    rng = np.random.default_rng(13)
+    N, d, B = 4096, 8, 3
+    batches = rng.integers(0, B, N)
+    Z = rng.normal(size=(N, d)).astype(np.float32)
+    design = build_design({"dataset": batches}, ["dataset"])
+    options = harmony_options()
+    cfg0 = resolve_config(
+        n_cells=N, d=d, design=design, nclust=8, max_iter=3,
+        early_stop=False, options=options, verbose=False,
+    )
+    cfg0 = dataclasses.replace(
+        cfg0, shuffle_mode="rotate", estep_impl="pallas",
+        estep_sub_tile=512, mstep_tile=128, mstep_mode="tiled",
+    )
+    perm, _ = build_batch_tiled_order(design.codes, 128, seed=0)
+    Zt = orient_embedding(Z, N)[:, perm]
+    design = dataclasses.replace(design, codes=design.codes[:, perm])
+    hp = expand_hyperparams(design, cfg0.K, None, 0.1, 1.0, options.tau)
+
+    out = {}
+    for virtual in (False, True):
+        cfg = dataclasses.replace(cfg0, virtual_r=virtual)
+        state = init_state(
+            cfg, Zt, design, hp.sigma, hp.theta, hp.lamb,
+            jax.random.PRNGKey(5),
+        )
+        engine = make_engine(cfg, codes=state.codes)
+        state = engine.init_cluster(state)
+        state = engine.run_rounds(state, jnp.int32(3))
+        if virtual:
+            assert state.virt_pen is not None, "virtual gate did not fire"
+            state = engine.materialize_r(state)
+        out[virtual] = state
+
+    np.testing.assert_allclose(
+        np.asarray(out[True].Z_corr), np.asarray(out[False].Z_corr),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[True].objective_harmony),
+        np.asarray(out[False].objective_harmony), rtol=1e-5,
+    )
+    # materialised R == the R the final round would have written
+    np.testing.assert_allclose(
+        np.asarray(out[True].R), np.asarray(out[False].R), atol=1e-6
+    )

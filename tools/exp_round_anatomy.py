@@ -40,6 +40,8 @@ LEVELS = [
     "norm",        # + column normalise (VPU)
     "tO",          # + the (K,T)x(T,B) tile-stat matmul
     "full",        # + reductions (s_rd, entropy) — the production body
+    "full2",       # full, tile processed as 2 independent halves
+    "full4",       # full, 4 independent quarters
 ]
 
 
@@ -80,6 +82,37 @@ def main():
         Z_t = Z_ref[:]
         if lvl == "copy":
             R_ref[:] = jnp.zeros_like(R_ref) + Z_t[0, 0]
+            return
+        if lvl in ("full2", "full4"):
+            # independent halves/quarters: gives the scheduler freedom to
+            # overlap one chunk's VPU chain with another's matmuls
+            nsp = 2 if lvl == "full2" else 4
+            Tc = T // nsp
+            acc = None
+            for h in range(nsp):
+                sl = slice(h * Tc, (h + 1) * Tc)
+                Z_h = Z_t[:, sl]
+                gh = jnp.dot(Y_ref[:], Z_h, preferred_element_type=f32)
+                eh = jnp.exp((gh - 1.0) * is_ref[:])
+                ch = c_ref[0:1, sl]
+                pch = jnp.zeros_like(eh)
+                for b in range(B):
+                    pch = pch + pen_ref[:, b][:, None] * (
+                        ch == b
+                    ).astype(f32)
+                wh = eh * pch
+                cs = jnp.sum(wh, axis=0, keepdims=True)
+                Rh = wh * (1.0 / jnp.where(cs == 0.0, 1.0, cs))
+                bh = jax.lax.broadcasted_iota(jnp.int32, (B, Tc), 0)
+                ohh = (ch == bh).astype(f32)
+                tOh = jax.lax.dot_general(
+                    Rh, ohh, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+                s_rd = 2.0 * jnp.sum(tOh) - 2.0 * jnp.sum(Rh * gh)
+                R_ref[:, sl] = Rh
+                acc = s_rd if acc is None else acc + s_rd
+            accv_s[0, 0] = accv_s[0, 0] + acc
             return
         g = jnp.dot(Y_ref[:], Z_t, preferred_element_type=f32)
         if lvl == "g":
