@@ -253,6 +253,33 @@ def cluster(
         use_stats_carry
         and cfg.max_iter_cluster <= cfg.window_size + 2
     )
+    runs_spec = None
+    if (
+        use_stats_carry
+        and not sharded_pallas
+        and tiled is not None
+        and cfg.n_covariates == 1
+        and cfg.estep_sub_tile % tiled.tile == 0
+    ):
+        import numpy as np
+
+        from .ops.pallas_rotate import RunsSpec
+
+        rsub = cfg.estep_sub_tile // tiled.tile
+        NT_runs = rotate_layout.Z_pad.shape[1] // tiled.tile
+        rb = np.full(NT_runs, -1, np.int32)
+        rb[: len(tiled.tile_joint)] = tiled.joint_codes[0][
+            tiled.tile_joint
+        ]
+        if rsub <= 128:
+            # (NT, 8, 128) slabs: one grid tile's run codes in row 0,
+            # lane-padded (Mosaic (8, 128) block granularity)
+            rows = np.full((NT_runs // rsub, 8, 128), -1, np.int32)
+            rows[:, 0, :rsub] = rb.reshape(-1, rsub)
+            runs_spec = RunsSpec(
+                run_batch=jnp.asarray(rows), tile=int(tiled.tile)
+            )
+
     if static_rounds:
         from .ops.pallas_rotate import MomentsSpec, VirtualR
 
@@ -299,6 +326,8 @@ def cluster(
                 else partial(pallas_rotate_update_round_v2, cfg, state.Z_corr)
             )
             kw = {}
+            if not sharded_pallas and runs_spec is not None:
+                kw["runs"] = runs_spec
             if last and moments_spec is not None:
                 kw["moments"] = moments_spec
             if last and use_virtual:
@@ -355,7 +384,7 @@ def cluster(
                 res = pallas_rotate_update_round_v2(
                     cfg, state.Z_corr, state.Y, rs, state.Pr_b, state.sigma,
                     state.theta, round_keys[it], layout=rotate_layout,
-                    interpret=interpret,
+                    interpret=interpret, runs=runs_spec,
                 )
             tile_O = res.tile_O
         elif use_rotate:

@@ -354,7 +354,10 @@ def _assign_tile(
     on tile boundaries. Returns (R_n, ohT, g, colsum1, colsum_g).
     """
     T = Z_t.shape[1]
-    ohT = _build_ohT(codes_ref, offsets, B, T)  # (B, T)
+    # ohT is only consumed by the penalty matmul (B > 32) and by callers'
+    # one-hot contractions; with the select-chain gather it never
+    # materialises here (callers build it on demand)
+    ohT = None if B <= 32 else _build_ohT(codes_ref, offsets, B, T)
     g = jnp.dot(Yt, Z_t, preferred_element_type=jnp.float32)
     if B <= 32:
         # penalty gather as a B-pass select chain: the (K,B)x(B,T) one-hot
@@ -424,6 +427,17 @@ class VirtualR(NamedTuple):
     Y: jnp.ndarray  # (d, K) centroids the final round used
     Z_orig_pad: jnp.ndarray  # (d, Npt)
     sigma: jnp.ndarray  # (K,)
+
+
+class RunsSpec(NamedTuple):
+    """Batch-pure run structure of the layout (single covariate): the
+    batch code of every ``tile``-wide run, sentinel -1 on mixed/pad runs.
+    Enables the run-sum form of the per-tile stat contraction. Rows are
+    one grid tile's runs padded to 128 lanes (Mosaic block constraint);
+    requires estep_sub_tile // tile <= 128."""
+
+    run_batch: jnp.ndarray  # (NT, 8, 128) int32; codes in [:, 0, :rsub]
+    tile: int  # run width (the layout tile; divides estep_sub_tile)
 
 
 class MomentsSpec(NamedTuple):
@@ -516,7 +530,7 @@ def _round_kernel_v2(
     sigrow_ref,  # (1, K) sigma again, lane-major for the MXU row-sums
     inv2sig_ref,  # (K, 1) 2/sigma
     theta_ref,  # (1, B)
-    *rest,  # [Zo_ref (d, T) Z_orig tile] + outputs + scratch
+    *rest,  # [runb_ref][Zo_ref (d, T) Z_orig tile] + outputs + scratch
     b0: int,  # levels of covariate 0 (intercept row-sum slice)
     cheap_entropy: bool,  # single covariate: factorised sigma*R*logR
     offsets: tuple,  # covariate offsets into the global batch rows
@@ -524,8 +538,10 @@ def _round_kernel_v2(
     variant: str = "legacy",  # 'legacy' | 'fused_vpu' | 'fused_mxu'
     msub: int = 0,  # layout sub-tiles per grid tile (M-step moment fusion)
     emit_pen: bool = False,  # emit the per-block penalty table (virtual R)
+    rsub: int = 0,  # batch-pure runs per grid tile (run-sum tile stats)
 ):
     it = iter(rest)
+    runb_ref = next(it) if rsub else None  # (1, rsub) batch code per run
     Zo_ref = next(it) if msub else None
     R_out_ref, tO_out_ref, E_out_ref, O_out_ref = (
         next(it), next(it), next(it), next(it),
@@ -536,6 +552,7 @@ def _round_kernel_v2(
     E_s, O_s, pen_s, logpen_s, rpend_s, Opend_s = (
         next(it), next(it), next(it), next(it), next(it), next(it),
     )
+    tO_s = next(it) if rsub else None
     Macc_s = next(it) if msub else None
     accv_s = next(it)
     s = pl.program_id(0)
@@ -587,10 +604,55 @@ def _round_kernel_v2(
 
     # per-tile stats: this IS the add-back bookkeeping AND the next round's
     # block-old source
-    tO = jax.lax.dot_general(
-        R_n, ohT, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (K, B)
+    T_t = Z_t.shape[1]
+    if rsub:
+        # batch-pure runs: tO as per-run row sums (VPU lane reductions) +
+        # a tiny (K, rsub)x(rsub, B) matmul — the (K,T)x(T,B) one-hot
+        # contraction pads B to 128 MXU lanes and measures +2.6 us/step
+        # over this form (tools/exp_round_anatomy.py tO_runsum). Tiles
+        # containing mixed/pad runs (sentinel batch codes) fall back to
+        # the exact one-hot contraction.
+        rbrow = runb_ref[0, 0:1, 0:rsub]  # (1, rsub); -1 on mixed/pad runs
+        is_pure = jnp.min(rbrow) >= 0
+
+        @pl.when(is_pure)
+        def _():
+            Tr = T_t // rsub
+            rs = jnp.concatenate(
+                [
+                    jnp.sum(
+                        R_n[:, j * Tr : (j + 1) * Tr],
+                        axis=1, keepdims=True,
+                    )
+                    for j in range(rsub)
+                ],
+                axis=1,
+            )  # (K, rsub)
+            runmapT = (
+                rbrow
+                == jax.lax.broadcasted_iota(jnp.int32, (B, rsub), 0)
+            ).astype(jnp.float32)  # (B, rsub)
+            tO_s[:] = jax.lax.dot_general(
+                rs, runmapT, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(~is_pure)
+        def _():
+            oh_m = _build_ohT(codes_ref, offsets, B, T_t)
+            tO_s[:] = jax.lax.dot_general(
+                R_n, oh_m, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        tO = tO_s[:]
+    else:
+        if ohT is None:
+            ohT = _build_ohT(codes_ref, offsets, B, T_t)
+        tO = jax.lax.dot_general(
+            R_n, ohT, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (K, B)
     rpend_s[:] = rpend_s[:] + jnp.sum(tO[:, :b0], axis=1, keepdims=True)
     Opend_s[:] = Opend_s[:] + tO
     if variant == "legacy":
@@ -687,6 +749,7 @@ def pallas_rotate_update_round_v2(
     write_r: bool = True,
     moments: "MomentsSpec | None" = None,
     emit_pen: bool = False,
+    runs: "RunsSpec | None" = None,
 ):
     """Stats-carrying rotate round: one Z/codes read + one R write per round.
 
@@ -768,6 +831,17 @@ def pallas_rotate_update_round_v2(
         pltpu.VMEM((K, 1), f32),  # rpend
         pltpu.VMEM((K, B), f32),  # Opend
     ]
+    rsub = 0
+    if runs is not None:
+        rsub = T // runs.tile
+        # run batch codes, one (8, 128) slab per grid tile (Mosaic block
+        # constraint: last two block dims divisible by (8, 128))
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 8, 128), lambda s, sc, tj: (sc[_V2_TILE, s], 0, 0)
+            )
+        )
+        scratch.append(pltpu.VMEM((K, B), f32))  # tO_s
     msub = 0
     if moments is not None:
         msub = T // moments.tile
@@ -781,10 +855,13 @@ def pallas_rotate_update_round_v2(
         out_shape.append(jax.ShapeDtypeStruct((nj + 1, K, d + 1), f32))
         scratch.append(pltpu.VMEM((nj + 1, K, d + 1), f32))  # Macc
         tj = moments.tile_joint
-        extra_in = (moments.Z_orig_pad,)
     else:
         tj = jnp.zeros((1,), jnp.int32)
-        extra_in = ()
+    extra_in = ()
+    if runs is not None:
+        extra_in += (runs.run_batch.astype(jnp.int32),)
+    if moments is not None:
+        extra_in += (moments.Z_orig_pad,)
     if emit_pen:
         out_specs.append(
             pl.BlockSpec((nb, K, B), lambda s, sc, tj: (0, 0, 0))
@@ -810,9 +887,10 @@ def pallas_rotate_update_round_v2(
             _round_kernel_v2, b0=cfg.B_vec[0],
             cheap_entropy=cfg.n_covariates == 1,
             offsets=tuple(cfg.covariate_offsets), B=B,
-            variant=_os.environ.get("HARMONY_ESTEP_VARIANT", "legacy"),
+            variant=_os.environ.get("HARMONY_ESTEP_VARIANT", "fused_vpu"),
             msub=msub,
             emit_pen=emit_pen,
+            rsub=rsub,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -1222,7 +1300,7 @@ def pallas_virtual_correction(
         _partial(
             _virtual_correction_kernel,
             offsets=tuple(cfg.covariate_offsets), B=B,
-            variant=_os.environ.get("HARMONY_ESTEP_VARIANT", "legacy"),
+            variant=_os.environ.get("HARMONY_ESTEP_VARIANT", "fused_vpu"),
             msub=msub, d=d,
         ),
         grid_spec=grid_spec,
@@ -1310,7 +1388,7 @@ def pallas_materialize_r(
         _partial(
             _materialize_r_kernel,
             offsets=tuple(cfg.covariate_offsets), B=B,
-            variant=_os.environ.get("HARMONY_ESTEP_VARIANT", "legacy"),
+            variant=_os.environ.get("HARMONY_ESTEP_VARIANT", "fused_vpu"),
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K, Npt), f32),

@@ -487,7 +487,7 @@ def _virtual_tail_r(cfg, virt, n_pure):
         virt.Y.T.astype(f32), Zn_t, preferred_element_type=f32
     )  # (K, tail)
     sigma = virt.sigma.astype(f32)[:, None]
-    variant = os.environ.get("HARMONY_ESTEP_VARIANT", "legacy")
+    variant = os.environ.get("HARMONY_ESTEP_VARIANT", "fused_vpu")
     if variant == "legacy":
         e = jnp.exp(-(2.0 * (1.0 - g)) / sigma)
         colsum1 = jnp.sum(e, axis=0, keepdims=True)

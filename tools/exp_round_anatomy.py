@@ -39,6 +39,8 @@ LEVELS = [
     "pc_select",   # penalty via B-pass select chain instead
     "norm",        # + column normalise (VPU)
     "tO",          # + the (K,T)x(T,B) tile-stat matmul
+    "tO_runsum",   # tO via per-256-run row sums + tiny (K,16)x(16,B)
+    "tO_runsumr",  # run sums via reshape(K,16,256).sum(-1)
     "full",        # + reductions (s_rd, entropy) — the production body
     "full2",       # full, tile processed as 2 independent halves
     "full4",       # full, 4 independent quarters
@@ -143,6 +145,28 @@ def main():
         R_n = w * (1.0 / jnp.where(colsum == 0.0, 1.0, colsum))
         if lvl == "norm":
             R_ref[:] = R_n
+            return
+        if lvl in ("tO_runsum", "tO_runsumr"):
+            msubr = 16
+            Tr = T // msubr
+            if lvl == "tO_runsum":
+                rs = jnp.concatenate(
+                    [
+                        jnp.sum(
+                            R_n[:, j * Tr : (j + 1) * Tr],
+                            axis=1, keepdims=True,
+                        )
+                        for j in range(msubr)
+                    ],
+                    axis=1,
+                )  # (K, 16)
+            else:
+                rs = jnp.sum(R_n.reshape(K, msubr, Tr), axis=2)
+            rj = jax.lax.broadcasted_iota(jnp.int32, (msubr, B), 1)
+            runb = (rj == (c_ref[0, 0] * 0)).astype(f32)  # (16, B) dummy map
+            tO = jnp.dot(rs, runb, preferred_element_type=f32)
+            R_ref[:] = R_n
+            accv_s[0, 0] = accv_s[0, 0] + jnp.sum(tO)
             return
         tO = jax.lax.dot_general(
             R_n, ohT, dimension_numbers=(((1,), (1,)), ((), ())),
