@@ -193,6 +193,34 @@ def cluster(
 
     # Z_corr and codes are fixed across the phase's rounds: build the
     # rotate schedule's padded layout once, outside the round loop.
+    runs_spec = None
+    if (
+        use_stats_carry
+        and mesh is None
+        and tiled is not None
+        and cfg.n_covariates == 1
+        and cfg.estep_sub_tile % tiled.tile == 0
+    ):
+        import numpy as np
+
+        from .ops.pallas_rotate import RunsSpec
+
+        T_e = cfg.estep_sub_tile
+        rsub = T_e // tiled.tile
+        NT_runs = (-(-cfg.Np // T_e) * T_e) // tiled.tile
+        rb = np.full(NT_runs, -1, np.int32)
+        rb[: len(tiled.tile_joint)] = tiled.joint_codes[0][
+            tiled.tile_joint
+        ]
+        if rsub <= 128:
+            # (NT, 8, 128) slabs: one grid tile's run codes in row 0,
+            # lane-padded (Mosaic (8, 128) block granularity)
+            rows = np.full((NT_runs // rsub, 8, 128), -1, np.int32)
+            rows[:, 0, :rsub] = rb.reshape(-1, rsub)
+            runs_spec = RunsSpec(
+                run_batch=jnp.asarray(rows), tile=int(tiled.tile)
+            )
+
     if use_stats_carry:
         from .ops.pallas_rotate import (
             CodesLayout, RoundState, make_codes_pad, pad_cells_to_tile,
@@ -219,7 +247,7 @@ def cluster(
         else:
             Zn_pad, tile_O0, O, E = pallas_reassign(
                 cfg, state.Y, state.sigma, state.Pr_b, Z_raw, codes_pad,
-                interpret=interpret,
+                interpret=interpret, runs=runs_spec,
             )
         state = dataclasses.replace(
             state,
@@ -253,33 +281,6 @@ def cluster(
         use_stats_carry
         and cfg.max_iter_cluster <= cfg.window_size + 2
     )
-    runs_spec = None
-    if (
-        use_stats_carry
-        and not sharded_pallas
-        and tiled is not None
-        and cfg.n_covariates == 1
-        and cfg.estep_sub_tile % tiled.tile == 0
-    ):
-        import numpy as np
-
-        from .ops.pallas_rotate import RunsSpec
-
-        rsub = cfg.estep_sub_tile // tiled.tile
-        NT_runs = rotate_layout.Z_pad.shape[1] // tiled.tile
-        rb = np.full(NT_runs, -1, np.int32)
-        rb[: len(tiled.tile_joint)] = tiled.joint_codes[0][
-            tiled.tile_joint
-        ]
-        if rsub <= 128:
-            # (NT, 8, 128) slabs: one grid tile's run codes in row 0,
-            # lane-padded (Mosaic (8, 128) block granularity)
-            rows = np.full((NT_runs // rsub, 8, 128), -1, np.int32)
-            rows[:, 0, :rsub] = rb.reshape(-1, rsub)
-            runs_spec = RunsSpec(
-                run_batch=jnp.asarray(rows), tile=int(tiled.tile)
-            )
-
     if static_rounds:
         from .ops.pallas_rotate import MomentsSpec, VirtualR
 

@@ -1066,17 +1066,19 @@ def _reassign_kernel(
     Z_ref,  # (d, T) tile s — RAW (un-normalised) corrected embedding
     codes_ref,  # (ncov, T) tile s
     inv2sig_ref,  # (K, 1) 2/sigma
-    # outputs
-    Zn_out_ref,  # (d, T) tile s — L2-normalised columns
-    tO_out_ref,  # (1, K, B) tile s
-    O_out_ref,  # (K, B)
-    # scratch
-    O_s,  # (K, B)
-    *,
+    *rest,  # [runb_ref (1, 8, 128)] + outputs + scratch
     ncov: int,
     offsets: tuple,
     B: int,
+    rsub: int = 0,
 ):
+    it = iter(rest)
+    runb_ref = next(it) if rsub else None
+    Zn_out_ref = next(it)  # (d, T) tile s — L2-normalised columns
+    tO_out_ref = next(it)  # (1, K, B) tile s
+    O_out_ref = next(it)  # (K, B)
+    O_s = next(it)  # (K, B) scratch
+    tO_s = next(it) if rsub else None
     s = pl.program_id(0)
     n_steps = pl.num_programs(0)
 
@@ -1087,25 +1089,62 @@ def _reassign_kernel(
     # column normalise in VMEM (src/harmony.cpp:220; zero columns — pads —
     # stay zero, matching arma::normalise)
     Z_t = Z_ref[:]  # (d, T)
+    T_t = Z_t.shape[1]
     nrm = jnp.sqrt(jnp.sum(Z_t * Z_t, axis=0, keepdims=True))
     Z_t = Z_t / jnp.where(nrm == 0.0, 1.0, nrm)
     Zn_out_ref[:] = Z_t
 
-    ohT = _build_ohT(codes_ref, offsets, B, Z_t.shape[1])  # (B, T)
     g = jnp.dot(Yt_ref[:], Z_t, preferred_element_type=jnp.float32)
     # single-normalise form of exp(-2(1-g)/sigma) (see _round_kernel_v2)
     e = jnp.exp((g - 1.0) * inv2sig_ref[:])
-    # pad cells (code -1, all-zero one-hot columns) must stay inert; every
-    # valid cell carries exactly `ncov` ones
-    valid = jnp.sum(ohT, axis=0, keepdims=True) * (1.0 / ncov)  # (1, T)
+    # pad cells (sentinel codes) must stay inert zero columns
+    valid = (codes_ref[0:1, :] >= 0).astype(jnp.float32)  # (1, T)
     R_n = e * valid
     colsum = jnp.sum(R_n, axis=0, keepdims=True)
     R_n = R_n * (1.0 / jnp.where(colsum == 0.0, 1.0, colsum))
 
-    tO = jax.lax.dot_general(
-        R_n, ohT, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (K, B)
+    if rsub:
+        # run-sum tile stats on batch-pure runs (see _round_kernel_v2)
+        rbrow = runb_ref[0, 0:1, 0:rsub]  # (1, rsub)
+        is_pure = jnp.min(rbrow) >= 0
+
+        @pl.when(is_pure)
+        def _():
+            Tr = T_t // rsub
+            rs = jnp.concatenate(
+                [
+                    jnp.sum(
+                        R_n[:, j * Tr : (j + 1) * Tr],
+                        axis=1, keepdims=True,
+                    )
+                    for j in range(rsub)
+                ],
+                axis=1,
+            )
+            runmapT = (
+                rbrow
+                == jax.lax.broadcasted_iota(jnp.int32, (B, rsub), 0)
+            ).astype(jnp.float32)
+            tO_s[:] = jax.lax.dot_general(
+                rs, runmapT, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(~is_pure)
+        def _():
+            oh_m = _build_ohT(codes_ref, offsets, B, T_t)
+            tO_s[:] = jax.lax.dot_general(
+                R_n, oh_m, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        tO = tO_s[:]
+    else:
+        ohT = _build_ohT(codes_ref, offsets, B, T_t)
+        tO = jax.lax.dot_general(
+            R_n, ohT, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (K, B)
     O_s[:] = O_s[:] + tO
     tO_out_ref[0] = tO
 
@@ -1122,6 +1161,7 @@ def pallas_reassign(
     Z_raw: jnp.ndarray,  # (d, Npt) un-normalised corrected embedding, padded
     codes_pad: jnp.ndarray,  # (ncov, Npt) int32; pads -1
     interpret: bool = False,
+    runs: "RunsSpec | None" = None,
 ):
     """Fused re-entry: normalise + re-assign + tile-stat seed, one Z pass.
 
@@ -1144,18 +1184,27 @@ def pallas_reassign(
 
     from functools import partial as _partial
 
+    rsub = 0
+    in_specs = [
+        pl.BlockSpec((K, d), lambda s: (0, 0)),  # Y^T
+        pl.BlockSpec((d, T), lambda s: (0, s)),  # Z raw
+        pl.BlockSpec((cfg.n_covariates, T), lambda s: (0, s)),  # codes
+        pl.BlockSpec((K, 1), lambda s: (0, 0)),  # sigma
+    ]
+    scratch = [pltpu.VMEM((K, B), f32)]
+    extra_in = ()
+    if runs is not None:
+        rsub = T // runs.tile
+        in_specs.append(pl.BlockSpec((1, 8, 128), lambda s: (s, 0, 0)))
+        scratch.append(pltpu.VMEM((K, B), f32))  # tO_s
+        extra_in = (runs.run_batch.astype(jnp.int32),)
     kernel = pl.pallas_call(
         _partial(
             _reassign_kernel, ncov=cfg.n_covariates,
-            offsets=tuple(cfg.covariate_offsets), B=B,
+            offsets=tuple(cfg.covariate_offsets), B=B, rsub=rsub,
         ),
         grid=(NT,),
-        in_specs=[
-            pl.BlockSpec((K, d), lambda s: (0, 0)),  # Y^T
-            pl.BlockSpec((d, T), lambda s: (0, s)),  # Z raw
-            pl.BlockSpec((cfg.n_covariates, T), lambda s: (0, s)),  # codes
-            pl.BlockSpec((K, 1), lambda s: (0, 0)),  # sigma
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((d, T), lambda s: (0, s)),  # Z normalised
             pl.BlockSpec((1, K, B), lambda s: (s, 0, 0)),  # tile_O
@@ -1166,7 +1215,7 @@ def pallas_reassign(
             jax.ShapeDtypeStruct((NT, K, B), f32),
             jax.ShapeDtypeStruct((K, B), f32),
         ],
-        scratch_shapes=[pltpu.VMEM((K, B), f32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )
     Zn, tile_O, O = kernel(
@@ -1174,6 +1223,7 @@ def pallas_reassign(
         Z_raw.astype(f32),
         codes_pad,
         (2.0 / sigma.astype(f32))[:, None],
+        *extra_in,
     )
     # E = rowsums(R) Pr_b^T (src/harmony.cpp:226); rowsums fall out of the
     # covariate-0 block of O (every valid cell carries exactly one level)
