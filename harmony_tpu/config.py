@@ -178,6 +178,15 @@ class HarmonyConfig:
     # single-device rotate runs on TPU — resolved by finalize_engine_config).
     estep_impl: str = "xla"
     estep_sub_tile: int = 4096
+    # Elementwise form of the Pallas assignment tile (ops/pallas_rotate.py
+    # _assign_tile): 'legacy' reproduces the reference's two-normalise op
+    # sequence (src/harmony.cpp:319-323); 'fused_vpu' applies the single
+    # normalise the algebra allows (~half the VPU passes); 'fused_mxu'
+    # additionally runs the column sums on the MXU. One config field keeps
+    # the round kernel, the virtual-R correction/materialisation kernels
+    # and the XLA tail recompute provably on the SAME variant — the
+    # virtual-R bit-identity contract depends on it.
+    estep_variant: str = "fused_vpu"
     # Pallas rotate rounds carry per-tile O statistics between rounds so a
     # round never re-reads R from HBM (ops/pallas_rotate.py v2); False falls
     # back to the two-phase kernel that recovers block stats by streaming R.

@@ -39,14 +39,17 @@ def harmonize(
     abort=None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 1,
+    abort_poll_rounds: int = 1,
 ) -> HarmonyState:
     """Run up to ``max_iter`` rounds of (cluster, correct), with early stop.
 
     ``perms`` optionally injects per-round cell permutations of shape
     (rounds, max_iter_cluster, N) for trajectory-parity testing.
     ``abort`` is an optional :class:`harmony_tpu.runtime.AbortFlag`, polled
-    between rounds (the RcppProgress check_abort analog,
-    src/harmony.cpp:233-234 — device steps are not interruptible).
+    every ``abort_poll_rounds`` completed rounds (the RcppProgress
+    check_abort analog, src/harmony.cpp:233-234 — device dispatches are
+    not interruptible, so the run is chunked into ``abort_poll_rounds``
+    single-dispatch pieces when a flag is supplied).
 
     ``checkpoint_path`` enables crash recovery: a minimal checkpoint
     (see :mod:`harmony_tpu.checkpoint`) is written every
@@ -57,22 +60,41 @@ def harmonize(
     cfg = engine.cfg
     if max_iter is None:
         max_iter = cfg.max_iter_harmony
+    if max_iter > cfg.max_iter_harmony:
+        # The trace buffers are fixed-capacity (allocated for
+        # cfg.max_iter_harmony rounds); pushing past them would silently
+        # clamp onto the last slot and corrupt the convergence test's
+        # window (jnp ``at[i].set`` clips out-of-bounds indices).
+        raise ValueError(
+            f"max_iter={max_iter} exceeds the engine's trace capacity "
+            f"(config max_iter_harmony={cfg.max_iter_harmony}); build the "
+            "config/state with max_iter >= the requested round budget"
+        )
     if max_iter < 1:
         return state
     if verbose:
         _ensure_verbose_handler()
 
-    if (
-        perms is None
-        and abort is None
-        and checkpoint_path is None
-        and not verbose
-    ):
+    if perms is None and checkpoint_path is None and not verbose:
         # Nothing needs the host between rounds: run the whole loop —
         # including the convergence test — as one device program
         # (engine.run_rounds). Per-round host round-trips otherwise cost
-        # ~6 ms each through a remote-dispatch tunnel.
-        state = engine.run_rounds(state, jnp.int32(max_iter))
+        # ~6 ms each through a remote-dispatch tunnel. With an abort flag
+        # the run is chunked into ``abort_poll_rounds`` dispatches, the
+        # flag polled between chunks (src/harmony.cpp:233-234 analog at
+        # chunk granularity).
+        if abort is None:
+            state = engine.run_rounds(state, jnp.int32(max_iter))
+        else:
+            done = 0
+            while done < max_iter:
+                if abort.aborted():
+                    raise KeyboardInterrupt("harmony run aborted by user")
+                k = min(max(abort_poll_rounds, 1), max_iter - done)
+                state = engine.run_rounds(state, jnp.int32(k))
+                done += k
+                if done < max_iter and bool(engine.harmony_converged(state)):
+                    break
         # virtual-R runs rematerialise the user-facing R once per run
         return engine.materialize_r(state)
 

@@ -880,14 +880,12 @@ def pallas_rotate_update_round_v2(
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
-    import os as _os
-
     kernel = pl.pallas_call(
         _partial(
             _round_kernel_v2, b0=cfg.B_vec[0],
             cheap_entropy=cfg.n_covariates == 1,
             offsets=tuple(cfg.covariate_offsets), B=B,
-            variant=_os.environ.get("HARMONY_ESTEP_VARIANT", "fused_vpu"),
+            variant=cfg.estep_variant,
             msub=msub,
             emit_pen=emit_pen,
             rsub=rsub,
@@ -1310,7 +1308,6 @@ def pallas_virtual_correction(
     recomputed in VMEM from the final round's penalty table. Mixed/pad
     layout tiles hit the trash beta row (zero) and pass Z_orig through —
     the caller patches their correction (tiny tail) in XLA."""
-    import os as _os
     from functools import partial as _partial
 
     K, d, B = cfg.K, cfg.d, cfg.B
@@ -1350,7 +1347,7 @@ def pallas_virtual_correction(
         _partial(
             _virtual_correction_kernel,
             offsets=tuple(cfg.covariate_offsets), B=B,
-            variant=_os.environ.get("HARMONY_ESTEP_VARIANT", "fused_vpu"),
+            variant=cfg.estep_variant,
             msub=msub, d=d,
         ),
         grid_spec=grid_spec,
@@ -1408,7 +1405,6 @@ def pallas_materialize_r(
     """The (K, Np) assignment matrix of the last clustering round, exactly
     as the round would have written it — runs once per run when the user
     (or a checkpoint) needs R (getR parity, src/harmony.cpp:646-649)."""
-    import os as _os
     from functools import partial as _partial
 
     K, d, B = cfg.K, cfg.d, cfg.B
@@ -1438,7 +1434,7 @@ def pallas_materialize_r(
         _partial(
             _materialize_r_kernel,
             offsets=tuple(cfg.covariate_offsets), B=B,
-            variant=_os.environ.get("HARMONY_ESTEP_VARIANT", "fused_vpu"),
+            variant=cfg.estep_variant,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K, Npt), f32),

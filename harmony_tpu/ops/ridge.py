@@ -470,8 +470,6 @@ def _virtual_tail_r(cfg, virt, n_pure):
     """(K, tail) assignments of the trailing mixed/pad cells, recomputed
     from the final round's penalty table with the same op sequence as the
     kernels' _assign_tile (single covariate; XLA on the small tail)."""
-    import os
-
     f32 = jnp.float32
     Np = cfg.Np
     T = cfg.estep_sub_tile
@@ -487,8 +485,7 @@ def _virtual_tail_r(cfg, virt, n_pure):
         virt.Y.T.astype(f32), Zn_t, preferred_element_type=f32
     )  # (K, tail)
     sigma = virt.sigma.astype(f32)[:, None]
-    variant = os.environ.get("HARMONY_ESTEP_VARIANT", "fused_vpu")
-    if variant == "legacy":
+    if cfg.estep_variant == "legacy":
         e = jnp.exp(-(2.0 * (1.0 - g)) / sigma)
         colsum1 = jnp.sum(e, axis=0, keepdims=True)
         w = (e / colsum1) * pc

@@ -34,10 +34,19 @@ def initialize_distributed(**kwargs) -> int:
     slices. Arguments pass through to ``jax.distributed.initialize``
     (coordinator address etc. default from the TPU environment).
     """
+    already = getattr(jax.distributed, "is_initialized", None)
+    if already is not None and already():
+        return jax.process_count()
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        pass  # already initialised (or single-process)
+    except RuntimeError as e:
+        # Idempotence only: re-initialisation is fine, but a genuinely
+        # failed init (bad coordinator address, port clash, timeout) must
+        # surface — silently degrading to single-process would run the
+        # full workload on one host's devices.
+        if "already" in str(e).lower():
+            return jax.process_count()
+        raise
     return jax.process_count()
 
 

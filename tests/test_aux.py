@@ -175,6 +175,71 @@ def test_phase_timers():
     assert "phase_a" in t.report()
 
 
+def test_trace_capacity_guard():
+    """max_iter beyond the state's trace capacity must raise, not silently
+    clamp pushes onto the last trace slot (engine trace buffers are
+    fixed-capacity; jnp .at[].set clips out-of-bounds indices)."""
+    _, _, obj = _result(max_iter=2)
+    engine = make_engine(obj.config)
+    with pytest.raises(ValueError, match="trace capacity"):
+        harmonize(engine, obj.state, max_iter=obj.config.max_iter_harmony + 1)
+
+
+class TestAbortPolling:
+    def test_pre_set_flag_aborts_fast_path(self):
+        from harmony_tpu.runtime import AbortFlag
+
+        _, _, obj = _result(max_iter=2)
+        engine = make_engine(obj.config, codes=obj.state.codes)
+        flag = AbortFlag()
+        flag.set()
+        with pytest.raises(KeyboardInterrupt):
+            harmonize(engine, obj.state, max_iter=2, abort=flag)
+
+    def test_chunked_fast_path_completes(self):
+        """With an (unset) abort flag the run chunks into
+        ``abort_poll_rounds`` single dispatches and still matches the
+        unchunked single-dispatch result."""
+        from harmony_tpu.preprocess import build_design
+        from harmony_tpu.runtime import AbortFlag
+        from harmony_tpu.state import init_state
+        from conftest import make_synthetic
+
+        Z, meta = make_synthetic(None, n_cells=200, d=8, seed=5)
+        from harmony_tpu.config import harmony_options
+        from harmony_tpu.preprocess import (
+            expand_hyperparams, orient_embedding, resolve_config,
+        )
+
+        design = build_design(meta, ["dataset"])
+        options = harmony_options()
+        cfg = resolve_config(
+            n_cells=200, d=8, design=design, nclust=8, max_iter=3,
+            early_stop=False, options=options, verbose=False,
+        )
+        hp = expand_hyperparams(design, cfg.K, None, 0.1, 1.0, options.tau)
+        Zt = orient_embedding(Z, 200)
+
+        def run(abort, polls):
+            state = init_state(
+                cfg, Zt, design, hp.sigma, hp.theta, hp.lamb,
+                jax.random.PRNGKey(3),
+            )
+            engine = make_engine(cfg, codes=state.codes)
+            state = engine.init_cluster(state)
+            return harmonize(
+                engine, state, max_iter=3, abort=abort,
+                abort_poll_rounds=polls,
+            )
+
+        ref = run(None, 1)
+        chunked = run(AbortFlag(), 1)
+        np.testing.assert_allclose(
+            np.asarray(ref.Z_corr), np.asarray(chunked.Z_corr), atol=1e-6
+        )
+        assert int(chunked.n_rounds) == int(ref.n_rounds)
+
+
 def test_abort_flag():
     from harmony_tpu.runtime import AbortFlag
 

@@ -290,9 +290,13 @@ def test_fused_mstep_moments_match_separate_pass():
     )
 
 
-def test_virtual_r_matches_materialized_path():
+@pytest.mark.parametrize("variant", ["fused_vpu", "legacy"])
+def test_virtual_r_matches_materialized_path(variant):
     """virtual_r=True must reproduce the virtual_r=False run: same Z_corr
-    trajectory and the materialised R equals the round-written R."""
+    trajectory and the materialised R equals the round-written R. The
+    assignment-variant knob (cfg.estep_variant) must preserve this contract
+    for every variant: the round kernel, the virtual correction and the
+    materialisation all read the ONE config field."""
     from harmony_tpu.config import harmony_options
     from harmony_tpu.engine import make_engine, materialize_r
     from harmony_tpu.preprocess import (
@@ -313,6 +317,7 @@ def test_virtual_r_matches_materialized_path():
     cfg0 = dataclasses.replace(
         cfg0, shuffle_mode="rotate", estep_impl="pallas",
         estep_sub_tile=512, mstep_tile=128, mstep_mode="tiled",
+        estep_variant=variant,
     )
     perm, _ = build_batch_tiled_order(design.codes, 128, seed=0)
     Zt = orient_embedding(Z, N)[:, perm]

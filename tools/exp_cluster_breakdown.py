@@ -127,25 +127,30 @@ def main():
         )
         return res.kmeans_error + res.entropy + res.R[0, 0]
 
-    def chained_rounds(s):
-        # 10 real rounds feeding (R, E, O, tile_O) forward — the
-        # steady-state per-round cost with true data dependencies
-        layout = make_codes_layout(cfg, s.Z_corr, s.codes)
-        oh_pad = make_oh_pad(cfg, s.codes)
-        rs = RoundState(
-            R=s.R, E=s.E, O=s.O,
-            tile_O=tile_stats_from_R(cfg, s.R, oh_pad),
-            kmeans_error=jnp.float32(0), entropy=jnp.float32(0),
-        )
-        keys = jax.random.split(jax.random.PRNGKey(1), 10)
-        acc = jnp.float32(0)
-        for i in range(10):
-            rs = pallas_rotate_update_round_v2(
-                cfg, s.Z_corr, s.Y, rs, s.Pr_b, s.sigma, s.theta,
-                keys[i], layout=layout,
+    def make_chained_rounds(cfg):
+        def chained_rounds(s):
+            # 10 real rounds feeding (R, E, O, tile_O) forward — the
+            # steady-state per-round cost with true data dependencies
+            layout = make_codes_layout(cfg, s.Z_corr, s.codes)
+            oh_pad = make_oh_pad(cfg, s.codes)
+            rs = RoundState(
+                R=s.R, E=s.E, O=s.O,
+                tile_O=tile_stats_from_R(cfg, s.R, oh_pad),
+                kmeans_error=jnp.float32(0), entropy=jnp.float32(0),
             )
-            acc = acc + rs.kmeans_error
-        return acc
+            keys = jax.random.split(jax.random.PRNGKey(1), 10)
+            acc = jnp.float32(0)
+            for i in range(10):
+                rs = pallas_rotate_update_round_v2(
+                    cfg, s.Z_corr, s.Y, rs, s.Pr_b, s.sigma, s.theta,
+                    keys[i], layout=layout,
+                )
+                acc = acc + rs.kmeans_error
+            return acc
+
+        return chained_rounds
+
+    chained_rounds = make_chained_rounds(cfg)
 
     def stage_moments(s, Y):
         Zf = s.Z_orig.astype(jnp.float32) + Y[0, 0] * 0
@@ -177,18 +182,16 @@ def main():
         t = bench_fn(chain10(fn), st2, iters=5)
         print(f"{name}: {t*1e2:7.2f} ms/call", flush=True)
 
-    import os
-
     for variant in ("legacy", "fused_vpu", "fused_mxu"):
-        os.environ["HARMONY_ESTEP_VARIANT"] = variant
+        cfg_v = dataclasses.replace(cfg, estep_variant=variant)
         t = bench_fn(
-            jax.jit(_with_precision(cfg, chained_rounds)), st2, iters=5
+            jax.jit(_with_precision(cfg_v, make_chained_rounds(cfg_v))),
+            st2, iters=5,
         )
         print(
             f"chained v2 round [{variant:9s}]: {t*1e2:7.3f} ms/round",
             flush=True,
         )
-    os.environ.pop("HARMONY_ESTEP_VARIANT", None)
 
     # full phases (single-dispatch, 5-chain not possible: use direct timing)
     fn = jax.jit(_with_precision(cfg, partial(eng.cluster, cfg)))
