@@ -285,9 +285,11 @@ def run_harmony(
 
     # 'rotate' shuffle mode pre-shuffles cells once at ingest (contiguous
     # blocks are then random subsets; see HarmonyConfig.shuffle_mode). On
-    # the fused single-device path the shuffle is the batch-tiled order
-    # (ops/tiled.py): random within batch, batch-pure tiles interleaved
-    # proportionally — the M-step then runs its zero-gather O(K·N·d) path.
+    # the fused Pallas path — single-device AND mesh — the shuffle is the
+    # batch-tiled order (ops/tiled.py): random within batch, batch-pure
+    # tiles interleaved proportionally — the M-step then runs its
+    # zero-gather O(K·N·d) path (sharded: per-shard tiles + one psum of
+    # the joint moment table).
     ingest_inv = None
     if shuffle_mode == "rotate":
         from .ops.tiled import (
@@ -296,13 +298,13 @@ def run_harmony(
 
         tiled_t = None
         if (
-            mesh is None
-            and cfg.estep_impl == "pallas"
+            cfg.estep_impl == "pallas"
             and cfg.mstep_impl != "pallas"
             and cfg.mstep_mode in ("auto", "tiled")
         ):
             tiled_t = choose_tiled_tile(
-                cfg, count_joint_levels(design.codes)
+                cfg, count_joint_levels(design.codes),
+                n_shards=1 if mesh is None else mesh.size,
             )
         if tiled_t:
             perm, _ = build_batch_tiled_order(design.codes, tiled_t, seed)

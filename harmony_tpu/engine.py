@@ -115,10 +115,15 @@ def _kmeans_window_converged(cfg: HarmonyConfig, state: HarmonyState) -> jnp.nda
 
 
 def _virtual_gate(cfg: HarmonyConfig, tiled, mesh) -> bool:
-    """May this run use virtual R (no (K, N) writes during rounds)?"""
+    """May this run use virtual R (no (K, N) writes during rounds)?
+
+    Mesh runs qualify too: the sharded final round emits per-shard penalty
+    tables (stacked on a sharded leading axis, global block ids) and the
+    sharded correction/materialisation kernels recompute each shard's
+    assignments locally (ops/pallas_rotate.py sharded_* wrappers).
+    """
     return (
         cfg.virtual_r
-        and mesh is None
         and tiled is not None
         and cfg.shuffle_mode == "rotate"
         and cfg.estep_impl == "pallas"
@@ -193,10 +198,11 @@ def cluster(
 
     # Z_corr and codes are fixed across the phase's rounds: build the
     # rotate schedule's padded layout once, outside the round loop.
+    # The runs table is built on the global cell axis; the sharded round
+    # slices it with the tiles (shard boundaries are grid-tile aligned).
     runs_spec = None
     if (
         use_stats_carry
-        and mesh is None
         and tiled is not None
         and cfg.n_covariates == 1
         and cfg.estep_sub_tile % tiled.tile == 0
@@ -242,7 +248,7 @@ def cluster(
         if sharded_pallas:
             Zn_pad, tile_O0, O, E = sharded_reassign(
                 cfg, mesh, state.Y, state.sigma, state.Pr_b, Z_raw,
-                codes_pad, interpret=interpret,
+                codes_pad, interpret=interpret, runs=runs_spec,
             )
         else:
             Zn_pad, tile_O0, O, E = pallas_reassign(
@@ -287,7 +293,6 @@ def cluster(
         moments_spec = None
         if (
             return_moments
-            and not sharded_pallas
             and tiled is not None
             and cfg.n_covariates == 1
             and cfg.estep_sub_tile % tiled.tile == 0
@@ -327,7 +332,7 @@ def cluster(
                 else partial(pallas_rotate_update_round_v2, cfg, state.Z_corr)
             )
             kw = {}
-            if not sharded_pallas and runs_spec is not None:
+            if runs_spec is not None:
                 kw["runs"] = runs_spec
             if last and moments_spec is not None:
                 kw["moments"] = moments_spec
@@ -379,7 +384,7 @@ def cluster(
                 res = sharded_rotate_round_v2(
                     cfg, mesh, state.Y, rs, state.Pr_b, state.sigma,
                     state.theta, round_keys[it], layout=rotate_layout,
-                    interpret=interpret,
+                    interpret=interpret, runs=runs_spec,
                 )
             else:
                 res = pallas_rotate_update_round_v2(
@@ -433,14 +438,14 @@ def cluster(
 
 def correct(
     cfg: HarmonyConfig, state: HarmonyState, segments=None, onehots=None,
-    tiled=None, tiled_moments=None, virtual=None,
+    tiled=None, tiled_moments=None, virtual=None, mesh=None,
 ) -> HarmonyState:
     """M-step: MoE ridge correction + centroid refresh (src/harmony.cpp:345-638)."""
     Z_corr, Y_new, _ = ops.moe_correct_ridge(
         cfg, state.Z_orig, state.R, state.O, state.E, state.codes,
         state.batch_sizes, state.lamb, state.Y, segments=segments,
         onehots=onehots, tiled=tiled, tiled_moments=tiled_moments,
-        virtual=virtual,
+        virtual=virtual, mesh=mesh,
     )
     return dataclasses.replace(
         state, Z_corr=Z_corr, Y=Y_new, n_rounds=state.n_rounds + 1
@@ -470,7 +475,7 @@ def harmony_round(
         )
         state = correct(
             cfg, state, segments=segments, onehots=onehots, tiled=tiled,
-            tiled_moments=M, virtual=virt,
+            tiled_moments=M, virtual=virt, mesh=mesh,
         )
         if virt is not None:
             state = dataclasses.replace(
@@ -483,25 +488,36 @@ def harmony_round(
     )
     return correct(
         cfg, state, segments=segments, onehots=onehots, tiled=tiled,
-        tiled_moments=M,
+        tiled_moments=M, mesh=mesh,
     )
 
 
-def materialize_r(cfg: HarmonyConfig, state: HarmonyState) -> HarmonyState:
+def materialize_r(
+    cfg: HarmonyConfig, state: HarmonyState, mesh=None
+) -> HarmonyState:
     """Turn a virtual-R state's context back into the user-facing (K, N)
     assignment matrix — the R the last clustering round would have written
     (getR parity, src/harmony.cpp:646-649). Identity when the run did not
     use virtual R."""
     if state.virt_pen is None:
         return state
-    from .ops.pallas_rotate import make_codes_pad, pallas_materialize_r
+    from .ops.pallas_rotate import (
+        make_codes_pad, pallas_materialize_r, sharded_materialize_r,
+    )
 
     codes_pad = make_codes_pad(cfg, state.codes)
-    R = pallas_materialize_r(
-        cfg, state.virt_Y, state.sigma, state.virt_pen, state.virt_blkmap,
-        state.virt_Zn, codes_pad,
-        interpret=jax.default_backend() == "cpu",
-    )
+    if mesh is not None:
+        R = sharded_materialize_r(
+            cfg, mesh, state.virt_Y, state.sigma, state.virt_pen,
+            state.virt_blkmap, state.virt_Zn, codes_pad,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        R = pallas_materialize_r(
+            cfg, state.virt_Y, state.sigma, state.virt_pen,
+            state.virt_blkmap, state.virt_Zn, codes_pad,
+            interpret=jax.default_backend() == "cpu",
+        )
     return dataclasses.replace(state, R=R.astype(state.R.dtype))
 
 
@@ -536,11 +552,14 @@ def run_rounds(
 
     if _virtual_gate(cfg, tiled, mesh) and state.virt_pen is None:
         # pre-fill the virtual-R context so the loop carry structure is
-        # stable (the first round replaces these with real values)
+        # stable (the first round replaces these with real values). On a
+        # mesh the block schedule is per shard: shard-local nb, penalty
+        # tables stacked over shards.
         T = cfg.estep_sub_tile
         Npt = -(-cfg.Np // T) * T
         NT = Npt // T
-        nb = min(cfg.n_blocks, NT)
+        n_shards = 1 if mesh is None else mesh.size
+        nb = min(cfg.n_blocks, NT // n_shards) * n_shards
         f32 = jnp.float32
         state = dataclasses.replace(
             state,
@@ -661,11 +680,11 @@ def make_engine(cfg: HarmonyConfig, codes=None, mesh=None) -> Engine:
         init_cluster_from=jit(init_cluster_from),
         cluster=jit(cluster, donate=donate, mesh=mesh, tiled=tiled),
         correct=jit(correct, donate=donate, segments=segments,
-                    onehots=onehots, tiled=tiled),
+                    onehots=onehots, tiled=tiled, mesh=mesh),
         round=jit(harmony_round, donate=donate, segments=segments,
                   onehots=onehots, tiled=tiled, mesh=mesh),
         run_rounds=jit(run_rounds, donate=donate, segments=segments,
                        onehots=onehots, tiled=tiled, mesh=mesh),
         harmony_converged=jit(harmony_converged),
-        materialize_r=jit(materialize_r),
+        materialize_r=jit(materialize_r, mesh=mesh),
     )

@@ -210,6 +210,47 @@ def pallas_tile_moments(
     )(tj, R_p, Zf)
 
 
+def sharded_tile_moments(
+    cfg: HarmonyConfig,
+    mesh,
+    R: jnp.ndarray,  # (K, Np) cell-sharded
+    Z: jnp.ndarray,  # (d, Np) cell-sharded
+    tile: int,
+    tile_joint_full: jnp.ndarray,  # (Np // tile,) int32 joint id per layout
+    #   tile over the FULL padded axis (mixed/pad tiles -> n_joint slot)
+    n_joint: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Joint-batch moments on a cell-sharded mesh: per-shard streaming
+    kernels + ONE psum of the tiny (n_joint+1, K, d+1) table — the M-step
+    communication set of SURVEY.md §2.3 (normal-equation partials are cell
+    sums, src/harmony.cpp:561-616). Layout tiles are shard-local (the
+    batch-tiled ingest order is built on the global axis and shard
+    boundaries fall on grid-tile boundaries), so each shard contracts its
+    own tiles against its slice of the tile->joint table."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..sharding import CELL_AXIS
+
+    def fn(R_loc, Z_loc, tj_loc):
+        # pallas_tile_moments takes any tile->joint prefix (entries may
+        # already be the trash slot n_joint); the local slice is the full
+        # local grid, so no implicit-trash suffix is appended
+        M = pallas_tile_moments(
+            cfg, R_loc, Z_loc, tile, tj_loc, n_joint, interpret=interpret
+        )
+        return jax.lax.psum(M, CELL_AXIS)
+
+    return shard_map(
+        fn,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(None, CELL_AXIS), P(None, CELL_AXIS), P(CELL_AXIS)),
+        out_specs=P(),
+    )(R, Z, tile_joint_full.astype(jnp.int32))
+
+
 def _tiled_correction_kernel(
     tj_ref, Wj_ref, R_ref, Z_ref, Z_out_ref, *, sub, T
 ):
@@ -299,6 +340,43 @@ def pallas_tiled_correction(
         interpret=interpret,
     )(tj, Wp, R_p, Zf)
     return Z_out[:, :Np] if Npt != Np else Z_out
+
+
+def sharded_tiled_correction(
+    cfg: HarmonyConfig,
+    mesh,
+    W_joint: jnp.ndarray,  # (n_joint + 1, d, K) betas; last row zeros
+    tile_joint_full: jnp.ndarray,  # (Np // tile,) incl. trash entries
+    R: jnp.ndarray,  # (K, Np) cell-sharded
+    Z: jnp.ndarray,  # (d, Np) cell-sharded
+    tile: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batch-tiled correction on a cell-sharded mesh: betas are replicated
+    (K x (B+1) x d, tiny), tiles are shard-local, Z_corr comes back
+    cell-sharded — zero communication (src/harmony.cpp:613-616 is a
+    per-cell update)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..sharding import CELL_AXIS
+
+    def fn(Wj, tj_loc, R_loc, Z_loc):
+        return pallas_tiled_correction(
+            cfg, Wj, tj_loc, R_loc, Z_loc, tile, interpret=interpret
+        )
+
+    return shard_map(
+        fn,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(
+            P(), P(CELL_AXIS), P(None, CELL_AXIS), P(None, CELL_AXIS),
+        ),
+        out_specs=P(None, CELL_AXIS),
+    )(
+        W_joint, tile_joint_full.astype(jnp.int32), R, Z,
+    )
 
 
 def _correction_kernel(Wt_ref, R_ref, Z_ref, oh_ref, Z_out_ref, acc_s):

@@ -970,29 +970,44 @@ def sharded_reassign(
     Z_raw: jnp.ndarray,  # (d, Npt) cell-sharded, tile*mesh aligned
     codes_pad: jnp.ndarray,  # (ncov, Npt) cell-sharded
     interpret: bool = False,
+    runs: "RunsSpec | None" = None,
 ):
-    """Fused re-entry on a cell-sharded mesh: local kernels + one psum."""
+    """Fused re-entry on a cell-sharded mesh: local kernels + one psum.
+
+    ``runs`` (global row table, sharded with the tiles) enables the
+    run-sum tile-stat form per shard exactly as on one device."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ..sharding import CELL_AXIS
 
-    def fn(Y, sigma, Pr_b, Z_loc, codes_loc):
+    def fn(Y, sigma, Pr_b, Z_loc, codes_loc, *rest):
+        runs_loc = (
+            RunsSpec(run_batch=rest[0], tile=runs.tile)
+            if runs is not None
+            else None
+        )
         Zn, tO, O, _ = pallas_reassign(
-            cfg, Y, sigma, Pr_b, Z_loc, codes_loc, interpret=interpret
+            cfg, Y, sigma, Pr_b, Z_loc, codes_loc, interpret=interpret,
+            runs=runs_loc,
         )
         O = jax.lax.psum(O, CELL_AXIS)
         rsum = jnp.sum(O[:, : cfg.B_vec[0]], axis=1)
         E = rsum[:, None] * Pr_b.astype(jnp.float32)[None, :]
         return Zn, tO, O, E
 
+    in_specs = [P(), P(), P(), P(None, CELL_AXIS), P(None, CELL_AXIS)]
+    args = [Y, sigma, Pr_b, Z_raw, codes_pad]
+    if runs is not None:
+        in_specs.append(P(CELL_AXIS))
+        args.append(runs.run_batch.astype(jnp.int32))
     return shard_map(
         fn,
         mesh=mesh,
         check_vma=False,
-        in_specs=(P(), P(), P(), P(None, CELL_AXIS), P(None, CELL_AXIS)),
+        in_specs=tuple(in_specs),
         out_specs=(P(None, CELL_AXIS), P(CELL_AXIS), P(), P()),
-    )(Y, sigma, Pr_b, Z_raw, codes_pad)
+    )(*args)
 
 
 def sharded_rotate_round_v2(
@@ -1007,13 +1022,28 @@ def sharded_rotate_round_v2(
     layout: CodesLayout,  # Z_pad/codes_pad cell-sharded
     interpret: bool = False,
     write_r: bool = True,
-) -> "RoundState":
+    moments: "MomentsSpec | None" = None,
+    emit_pen: bool = False,
+    runs: "RunsSpec | None" = None,
+):
     """Stats-carrying rotate round on a cell-sharded mesh.
 
     Each shard's schedule derives from ``fold_in(key, axis_index)`` — the
     global round is ``mesh.size * n_blocks`` blocks processed in parallel
     waves of ``mesh.size``. E/O enter replicated; the shards' deltas and
     the objective accumulators merge with one psum.
+
+    The single-device round's extras all shard: ``runs`` row tables ride
+    with the tiles; ``moments`` fuses each shard's joint-batch moment
+    contribution and merges the (n_joint+1, K, d+1) tables with the same
+    psum wave (the M-step normal-equation reduction of SURVEY.md §2.3);
+    ``emit_pen`` returns the per-shard penalty tables stacked on a sharded
+    leading axis — (mesh.size * nb, K, B) — and the tile -> block map in
+    GLOBAL block ids (shard s's blocks are s*nb .. s*nb+nb-1), which is
+    what the virtual-R correction/materialisation consume.
+
+    Return value mirrors the local round:
+    ``RoundState`` | ``(RoundState[, M][, (pen, blk_of_phys)])``.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -1022,40 +1052,96 @@ def sharded_rotate_round_v2(
 
     f32 = jnp.float32
 
-    def fn(Y, R, E, O, tile_O, Z_loc, codes_loc, Pr_b, sigma, theta, key):
-        k = jax.random.fold_in(key, jax.lax.axis_index(CELL_AXIS))
+    def fn(Y, R, E, O, tile_O, Z_loc, codes_loc, Pr_b, sigma, theta, key,
+           *rest):
+        it = iter(rest)
+        runs_loc = (
+            RunsSpec(run_batch=next(it), tile=runs.tile)
+            if runs is not None
+            else None
+        )
+        moments_loc = (
+            MomentsSpec(
+                Z_orig_pad=next(it), tile_joint=next(it),
+                n_joint=moments.n_joint, tile=moments.tile,
+            )
+            if moments is not None
+            else None
+        )
+        idx = jax.lax.axis_index(CELL_AXIS)
+        k = jax.random.fold_in(key, idx)
         rs_loc = RoundState(
             R=R, E=E, O=O, tile_O=tile_O,
             kmeans_error=jnp.float32(0), entropy=jnp.float32(0),
         )
-        res = pallas_rotate_update_round_v2(
+        out = pallas_rotate_update_round_v2(
             cfg, Z_loc, Y, rs_loc, Pr_b, sigma, theta, k,
             layout=CodesLayout(Z_pad=Z_loc, codes_pad=codes_loc),
             interpret=interpret, write_r=write_r,
+            moments=moments_loc, emit_pen=emit_pen, runs=runs_loc,
         )
+        # RoundState is itself a (named) tuple: unpack by the flags, not
+        # by isinstance
+        if moments is not None or emit_pen:
+            res, *extras = out
+        else:
+            res, extras = out, ()
+        it_out = iter(extras)
         O_new = O + jax.lax.psum(res.O.astype(f32) - O, CELL_AXIS)
         E_new = E + jax.lax.psum(res.E.astype(f32) - E, CELL_AXIS)
         kerr = jax.lax.psum(res.kmeans_error, CELL_AXIS)
         ent = jax.lax.psum(res.entropy, CELL_AXIS)
-        return res.R, res.tile_O, E_new, O_new, kerr, ent
+        outs = (res.R, res.tile_O, E_new, O_new, kerr, ent)
+        if moments is not None:
+            M = jax.lax.psum(next(it_out), CELL_AXIS)
+            outs += (M,)
+        if emit_pen:
+            pen, blk_of_phys = next(it_out)
+            nb_loc = pen.shape[0]
+            outs += (pen, blk_of_phys + idx * nb_loc)
+        return outs
 
-    R, tile_O, E, O, kerr, ent = shard_map(
+    in_specs = [
+        P(), P(None, CELL_AXIS), P(), P(), P(CELL_AXIS),
+        P(None, CELL_AXIS), P(None, CELL_AXIS), P(), P(), P(), P(),
+    ]
+    args = [
+        Y, rs.R, rs.E.astype(f32), rs.O.astype(f32), rs.tile_O,
+        layout.Z_pad, layout.codes_pad, Pr_b, sigma, theta, key,
+    ]
+    out_specs = [P(None, CELL_AXIS), P(CELL_AXIS), P(), P(), P(), P()]
+    if runs is not None:
+        in_specs.append(P(CELL_AXIS))
+        args.append(runs.run_batch.astype(jnp.int32))
+    if moments is not None:
+        in_specs.extend([P(None, CELL_AXIS), P(CELL_AXIS)])
+        args.extend([moments.Z_orig_pad, moments.tile_joint])
+        out_specs.append(P())
+    if emit_pen:
+        out_specs.extend([P(CELL_AXIS), P(CELL_AXIS)])
+
+    outs = shard_map(
         fn,
         mesh=mesh,
         check_vma=False,
-        in_specs=(
-            P(), P(None, CELL_AXIS), P(), P(), P(CELL_AXIS),
-            P(None, CELL_AXIS), P(None, CELL_AXIS), P(), P(), P(), P(),
-        ),
-        out_specs=(P(None, CELL_AXIS), P(CELL_AXIS), P(), P(), P(), P()),
-    )(
-        Y, rs.R, rs.E.astype(f32), rs.O.astype(f32), rs.tile_O,
-        layout.Z_pad, layout.codes_pad, Pr_b, sigma, theta, key,
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
+    )(*args)
+    it_out = iter(outs)
+    R, tile_O, E, O, kerr, ent = (
+        next(it_out), next(it_out), next(it_out), next(it_out),
+        next(it_out), next(it_out),
     )
-    return RoundState(
+    res = RoundState(
         R=R, E=E.astype(rs.E.dtype), O=O.astype(rs.O.dtype),
         tile_O=tile_O, kmeans_error=kerr, entropy=ent,
     )
+    out = (res,)
+    if moments is not None:
+        out = out + (next(it_out),)
+    if emit_pen:
+        out = out + ((next(it_out), next(it_out)),)
+    return out[0] if len(out) == 1 else out
 
 
 def _reassign_kernel(
@@ -1368,6 +1454,56 @@ def pallas_virtual_correction(
     )
 
 
+def sharded_virtual_correction(
+    cfg: HarmonyConfig,
+    mesh,
+    W_joint: jnp.ndarray,  # (n_joint + 1, d, K); trash row zeros
+    tile_joint: jnp.ndarray,  # (Npt // tile,) int32 incl. trash tail
+    layout_tile: int,
+    Y: jnp.ndarray,
+    sigma: jnp.ndarray,
+    pen: jnp.ndarray,  # (mesh.size * nb, K, B) global penalty tables
+    blk_of_phys: jnp.ndarray,  # (NT,) GLOBAL block ids
+    Zn_pad: jnp.ndarray,  # (d, Npt) cell-sharded
+    codes_pad: jnp.ndarray,  # (ncov, Npt) cell-sharded
+    Z_orig_pad: jnp.ndarray,  # (d, Npt) cell-sharded
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Virtual-R correction on a cell-sharded mesh: each shard recomputes
+    its own tiles' assignments from ITS penalty tables (the sharded final
+    round's schedule is per-shard, so a shard's tiles only ever reference
+    its own blocks) and applies the replicated betas — zero communication,
+    Z_corr comes back cell-sharded."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..sharding import CELL_AXIS
+
+    nb_loc = pen.shape[0] // mesh.size
+
+    def fn(Wj, tj_loc, Y, sigma, pen_loc, bm_loc, Zn_loc, codes_loc,
+           Zo_loc):
+        bm_local = bm_loc - jax.lax.axis_index(CELL_AXIS) * nb_loc
+        return pallas_virtual_correction(
+            cfg, Wj, tj_loc, layout_tile, Y, sigma, pen_loc, bm_local,
+            Zn_loc, codes_loc, Zo_loc, interpret=interpret,
+        )
+
+    return shard_map(
+        fn,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(
+            P(), P(CELL_AXIS), P(), P(), P(CELL_AXIS), P(CELL_AXIS),
+            P(None, CELL_AXIS), P(None, CELL_AXIS), P(None, CELL_AXIS),
+        ),
+        out_specs=P(None, CELL_AXIS),
+    )(
+        W_joint, tile_joint.astype(jnp.int32), Y, sigma, pen,
+        blk_of_phys.astype(jnp.int32), Zn_pad, codes_pad, Z_orig_pad,
+    )
+
+
 def _materialize_r_kernel(
     blkmap_ref,  # (NT,)
     Yt_ref,  # (K, d)
@@ -1450,6 +1586,47 @@ def pallas_materialize_r(
         (2.0 / sig32)[:, None],
     )
     return R[:, : cfg.Np] if Npt != cfg.Np else R
+
+
+def sharded_materialize_r(
+    cfg: HarmonyConfig,
+    mesh,
+    Y: jnp.ndarray,
+    sigma: jnp.ndarray,
+    pen: jnp.ndarray,  # (mesh.size * nb, K, B)
+    blk_of_phys: jnp.ndarray,  # (NT,) GLOBAL block ids
+    Zn_pad: jnp.ndarray,  # (d, Npt) cell-sharded
+    codes_pad: jnp.ndarray,  # (ncov, Npt) cell-sharded
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run-end R materialisation on a cell-sharded mesh (see
+    sharded_virtual_correction for the per-shard penalty argument)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..sharding import CELL_AXIS
+
+    nb_loc = pen.shape[0] // mesh.size
+
+    def fn(Y, sigma, pen_loc, bm_loc, Zn_loc, codes_loc):
+        bm_local = bm_loc - jax.lax.axis_index(CELL_AXIS) * nb_loc
+        return pallas_materialize_r(
+            cfg, Y, sigma, pen_loc, bm_local, Zn_loc, codes_loc,
+            interpret=interpret,
+        )
+
+    return shard_map(
+        fn,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(
+            P(), P(), P(CELL_AXIS), P(CELL_AXIS),
+            P(None, CELL_AXIS), P(None, CELL_AXIS),
+        ),
+        out_specs=P(None, CELL_AXIS),
+    )(
+        Y, sigma, pen, blk_of_phys.astype(jnp.int32), Zn_pad, codes_pad,
+    )
 
 
 def pallas_rotate_update_round(

@@ -83,6 +83,7 @@ def moe_correct_ridge(
     tiled=None,  # ops.tiled.TiledCells -> batch-tiled O(K N d) moment path
     tiled_moments=None,  # (n_joint+1, K, d+1) table fused into the E-step
     virtual=None,  # pallas_rotate.VirtualR -> R never read; recomputed
+    mesh=None,  # cells mesh -> tiled Pallas kernels run per shard
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Return (Z_corr, Y_new, W) — W is (K, B+1, d) with intercept rows zeroed.
 
@@ -105,6 +106,7 @@ def moe_correct_ridge(
         cfg.mstep_impl == "pallas"
         and cfg.n_covariates == 1
         and segments is None
+        and mesh is None
     )
 
     Zf = Z_orig.astype(f32)
@@ -139,11 +141,12 @@ def moe_correct_ridge(
             tail_R = _virtual_tail_r(cfg, virtual, tiled.n_pure)
             O_all, rhs_all, cross_blocks, ctx = _moments_tiled(
                 cfg, R_eff, Zf, codes, tiled, precomputed=tiled_moments,
-                tail_R=tail_R,
+                tail_R=tail_R, mesh=mesh,
             )
         elif tiled is not None:
             O_all, rhs_all, cross_blocks, ctx = _moments_tiled(
-                cfg, R_eff, Zf, codes, tiled, precomputed=tiled_moments
+                cfg, R_eff, Zf, codes, tiled, precomputed=tiled_moments,
+                mesh=mesh,
             )
         elif segments is None:
             O_all, rhs_all, cross_blocks, ctx = _moments_dense(
@@ -182,7 +185,7 @@ def moe_correct_ridge(
 
         if tiled is not None:
             O_eff, rhs_batches, cross_blocks, ctx = _moments_tiled(
-                cfg, R_eff, Zf, codes, tiled
+                cfg, R_eff, Zf, codes, tiled, mesh=mesh
             )
         elif segments is None:
             O_eff, rhs_batches, cross_blocks, ctx = _moments_dense(
@@ -255,9 +258,9 @@ def moe_correct_ridge(
     # ---- Correction: Z_corr = Z_orig - sum_k W_k^T Phi_Rk ----------------
     # Per cell n: correction = sum_k R_eff[k,n] * sum_c W[k, 1+code_c(n), :]
     if virtual is not None:
-        Z_corr = _correction_virtual(cfg, W, ctx, tiled, virtual).astype(
-            Z_orig.dtype
-        )
+        Z_corr = _correction_virtual(
+            cfg, W, ctx, tiled, virtual, mesh=mesh
+        ).astype(Z_orig.dtype)
         return Z_corr, Y_new, W
     if use_pallas:
         Z_corr = pallas_correction(
@@ -265,9 +268,9 @@ def moe_correct_ridge(
         ).astype(Z_orig.dtype)
         return Z_corr, Y_new, W
     if tiled is not None:
-        Z_corr = _correction_tiled(cfg, W, R_eff, Zf, ctx, tiled).astype(
-            Z_orig.dtype
-        )
+        Z_corr = _correction_tiled(
+            cfg, W, R_eff, Zf, ctx, tiled, mesh=mesh
+        ).astype(Z_orig.dtype)
         return Z_corr, Y_new, W
     if segments is None:
         corr = _correction_dense(cfg, W, R_eff, ctx)
@@ -330,8 +333,20 @@ def _correction_dense(cfg, W, R_eff, onehots):
     return corr
 
 
+def _full_tile_joint(cfg, tiled):
+    """(Np // tile,) layout-tile -> joint id over the FULL padded cell
+    axis, mixed/pad tiles mapped to the trailing trash slot ``n_joint``
+    (the form the sharded kernels consume: it shards with the tiles)."""
+    import numpy as np
+
+    n_joint = tiled.joint_codes.shape[1]
+    tj = np.full(cfg.Np // tiled.tile, n_joint, np.int32)
+    tj[: len(tiled.tile_joint)] = tiled.tile_joint
+    return tj
+
+
 def _moments_tiled(cfg, R_eff, Zf, codes, tiled, precomputed=None,
-                   tail_R=None):
+                   tail_R=None, mesh=None):
     """Batch-tiled moments: O(K·N·d), streaming layouts (see ops/tiled.py).
 
     One unsegmented (K, T)x(T, d+1) matmul per cell tile (Pallas), then
@@ -352,6 +367,14 @@ def _moments_tiled(cfg, R_eff, Zf, codes, tiled, precomputed=None,
     n_joint = tiled.joint_codes.shape[1]
     if precomputed is not None:
         M = precomputed
+    elif mesh is not None:
+        from .pallas_ridge import sharded_tile_moments
+
+        M = sharded_tile_moments(
+            cfg, mesh, R_eff, Zf, tiled.tile,
+            jnp.asarray(_full_tile_joint(cfg, tiled)), n_joint,
+            interpret=interp,
+        )
     else:
         M = pallas_tile_moments(
             cfg, R_eff, Zf, tiled.tile, jnp.asarray(tiled.tile_joint),
@@ -415,13 +438,15 @@ def _moments_tiled(cfg, R_eff, Zf, codes, tiled, precomputed=None,
     return O_eff, rhs_batches, cross_blocks, (R_t, tail_oh)
 
 
-def _correction_tiled(cfg, W, R_eff, Zf, ctx, tiled):
+def _correction_tiled(cfg, W, R_eff, Zf, ctx, tiled, mesh=None):
     """Batch-tiled correction: one (d, K)x(K, T) matmul per pure tile
     (Pallas, betas fetched by the static tile->joint table), dense on the
     trailing mixed region. Returns Z_corr directly."""
     import jax as _jax
 
-    from .pallas_ridge import pallas_tiled_correction
+    from .pallas_ridge import (
+        pallas_tiled_correction, sharded_tiled_correction,
+    )
 
     f32 = jnp.float32
     interp = _jax.default_backend() == "cpu"
@@ -446,10 +471,16 @@ def _correction_tiled(cfg, W, R_eff, Zf, ctx, tiled):
     )
 
     Np = R_eff.shape[1]
-    Z_corr = pallas_tiled_correction(
-        cfg, W_joint, jnp.asarray(tiled.tile_joint), R_eff, Zf, tiled.tile,
-        interpret=interp,
-    )
+    if mesh is not None:
+        Z_corr = sharded_tiled_correction(
+            cfg, mesh, W_joint, jnp.asarray(_full_tile_joint(cfg, tiled)),
+            R_eff, Zf, tiled.tile, interpret=interp,
+        )
+    else:
+        Z_corr = pallas_tiled_correction(
+            cfg, W_joint, jnp.asarray(tiled.tile_joint), R_eff, Zf,
+            tiled.tile, interpret=interp,
+        )
 
     tail = Np - tiled.n_pure
     if tail:
@@ -496,14 +527,16 @@ def _virtual_tail_r(cfg, virt, n_pure):
     return w * (1.0 / jnp.where(colsum == 0.0, 1.0, colsum))
 
 
-def _correction_virtual(cfg, W, ctx, tiled, virt):
+def _correction_virtual(cfg, W, ctx, tiled, virt, mesh=None):
     """Correction with R recomputed in VMEM from the penalty table (see
     ops/pallas_rotate.py, virtual-R section). Pure layout tiles run in the
     fused kernel; the mixed tail gets the dense patch from its recomputed
     assignments (ctx carries them from _moments_tiled)."""
     import jax as _jax
 
-    from .pallas_rotate import pallas_virtual_correction
+    from .pallas_rotate import (
+        pallas_virtual_correction, sharded_virtual_correction,
+    )
 
     f32 = jnp.float32
     interp = _jax.default_backend() == "cpu"
@@ -527,11 +560,18 @@ def _correction_virtual(cfg, W, ctx, tiled, virt):
     tj = np.full(NT_layout, n_joint, np.int32)
     tj[: len(tiled.tile_joint)] = tiled.tile_joint
 
-    Z_corr = pallas_virtual_correction(
-        cfg, W_joint, jnp.asarray(tj), tiled.tile, virt.Y, virt.sigma,
-        virt.pen, virt.blkmap, virt.Zn_pad, virt.codes_pad,
-        virt.Z_orig_pad, interpret=interp,
-    )
+    if mesh is not None:
+        Z_corr = sharded_virtual_correction(
+            cfg, mesh, W_joint, jnp.asarray(tj), tiled.tile, virt.Y,
+            virt.sigma, virt.pen, virt.blkmap, virt.Zn_pad,
+            virt.codes_pad, virt.Z_orig_pad, interpret=interp,
+        )
+    else:
+        Z_corr = pallas_virtual_correction(
+            cfg, W_joint, jnp.asarray(tj), tiled.tile, virt.Y, virt.sigma,
+            virt.pen, virt.blkmap, virt.Zn_pad, virt.codes_pad,
+            virt.Z_orig_pad, interpret=interp,
+        )
     Np = cfg.Np
     if Z_corr.shape[1] != Np:
         Z_corr = Z_corr[:, :Np]

@@ -81,7 +81,7 @@ def tiled_mixture_ok(
     return tiles_per_block >= factor * max(n_joint, 1)
 
 
-def choose_tiled_tile(cfg, n_joint: int) -> Optional[int]:
+def choose_tiled_tile(cfg, n_joint: int, n_shards: int = 1) -> Optional[int]:
     """Largest feasible layout-tile width for this run, or None.
 
     Prefers a width that keeps ≥4 interleaved tiles per joint group per
@@ -91,11 +91,16 @@ def choose_tiled_tile(cfg, n_joint: int) -> Optional[int]:
     M-step kernels); accepts ≥2 as a floor — the batch-tiled M-step is
     ~10-50× cheaper than the gather-based fallback, which outweighs the
     coarser per-block mixture (±1 tile per group out of ≥2).
+
+    On a mesh the rotate blocks are shard-local (each shard runs
+    ``n_blocks`` blocks over its own tiles), so the mixture requirement
+    applies to the per-shard slice of the global interleaved layout.
     """
     widths = [t for t in dict.fromkeys((cfg.mstep_tile, 128)) if t >= 128]
+    per_shard = cfg.Np // max(n_shards, 1)
     for factor in (4.0, 2.0):
         for t in widths:
-            if tiled_mixture_ok(cfg.Np, t, cfg.n_blocks, n_joint, factor):
+            if tiled_mixture_ok(per_shard, t, cfg.n_blocks, n_joint, factor):
                 return t
     return None
 

@@ -100,18 +100,37 @@ class TestCheckpoint:
         assert np.all(np.isfinite(np.asarray(state2.Z_corr)))
 
     def test_driver_periodic_checkpoint(self, tmp_path):
-        Z, meta, obj = _result(max_iter=1)
+        """harmonize() writes a resumable checkpoint every round. The
+        state comes from a capacity-4 run of which only 2 rounds ran, so
+        continuing 2 more stays within the trace capacity (running past
+        it now raises, test_trace_capacity_guard)."""
         from harmony_tpu.preprocess import build_design, orient_embedding
+        from harmony_tpu.config import harmony_options
+        from harmony_tpu.preprocess import expand_hyperparams, resolve_config
+        from harmony_tpu.state import init_state
+
+        Z, meta = make_synthetic(None, n_cells=200, d=8, seed=5)
+        design = build_design(meta, ["dataset"])
+        options = harmony_options()
+        cfg = resolve_config(
+            n_cells=200, d=8, design=design, nclust=8, max_iter=2,
+            early_stop=False, options=options, verbose=False,
+        )
+        hp = expand_hyperparams(design, cfg.K, None, 0.1, 1.0, options.tau)
+        Zt = orient_embedding(Z, 200)
+        state = init_state(
+            cfg, Zt, design, hp.sigma, hp.theta, hp.lamb,
+            jax.random.PRNGKey(3),
+        )
+        engine = make_engine(cfg, codes=state.codes)
+        state = engine.init_cluster(state)
 
         p = str(tmp_path / "auto.npz")
-        engine = make_engine(obj.config)
-        harmonize(engine, obj.state, max_iter=2, checkpoint_path=p)
-        design = build_design(meta, ["dataset"])
-        Zt = orient_embedding(Z, design.n_cells)
+        harmonize(engine, state, max_iter=2, checkpoint_path=p)
         from harmony_tpu.checkpoint import load_checkpoint
 
-        cfg, state = load_checkpoint(p, Z=Zt, design=design)
-        assert int(state.n_rounds) >= 2
+        cfg2, state2 = load_checkpoint(p, Z=Zt, design=design)
+        assert int(state2.n_rounds) >= 2
 
     def test_minimal_requires_inputs(self, tmp_path):
         _, _, obj = _result()

@@ -139,6 +139,142 @@ def test_sharded_cluster_stats_consistent():
     np.testing.assert_allclose(np.asarray(state.E), E_ref, atol=2e-2)
 
 
+def _tiled_problem(N=8192, d=8, K=5, B=3, n_shards=4, seed=0,
+                   virtual=False):
+    """A batch-tiled-ingest state ready for sharded fast-path phases."""
+    from harmony_tpu.config import harmony_options
+    from harmony_tpu.engine import make_engine
+    from harmony_tpu.ops.tiled import (
+        build_batch_tiled_order, detect_tiled_layout,
+    )
+    from harmony_tpu.preprocess import (
+        build_design, expand_hyperparams, orient_embedding, resolve_config,
+    )
+    from harmony_tpu.state import init_state
+
+    rng = np.random.default_rng(seed)
+    batches = rng.integers(0, B, N)
+    Z = rng.normal(size=(N, d)).astype(np.float32)
+    design = build_design({"dataset": batches}, ["dataset"])
+    options = harmony_options(block_size=0.25)
+    cfg = resolve_config(
+        n_cells=N, d=d, design=design, nclust=K, max_iter=3,
+        early_stop=False, options=options, verbose=False,
+    )
+    cfg = dataclasses.replace(
+        cfg, shuffle_mode="rotate", estep_impl="pallas",
+        estep_sub_tile=512, mstep_tile=128, mstep_mode="tiled",
+        virtual_r=virtual,
+    )
+    perm, _ = build_batch_tiled_order(design.codes, 128, seed=0)
+    Zt = orient_embedding(Z, N)[:, perm]
+    design = dataclasses.replace(design, codes=design.codes[:, perm])
+    hp = expand_hyperparams(design, cfg.K, None, 0.1, 1.0, options.tau)
+    state = init_state(
+        cfg, Zt, design, hp.sigma, hp.theta, hp.lamb, jax.random.PRNGKey(3)
+    )
+    tiled = detect_tiled_layout(np.asarray(state.codes), cfg.N, 128)
+    assert tiled is not None
+    mesh = make_mesh(n_shards)
+    return cfg, mesh, state, tiled
+
+
+class TestShardedTiledMStep:
+    """The batch-tiled M-step fast path under a cells mesh (VERDICT r1 #1):
+    per-shard streaming kernels + one psum of the joint moment table must
+    reproduce the single-device tiled path on identical inputs."""
+
+    def test_sharded_correct_matches_unsharded(self):
+        from harmony_tpu.engine import cluster, correct
+
+        cfg, mesh, state, tiled = _tiled_problem()
+        from harmony_tpu.engine import make_engine
+
+        engine = make_engine(cfg, codes=state.codes)
+        state = engine.init_cluster(state)
+        # one single-device cluster phase fixes (R, E, O) for both sides
+        st = jax.jit(lambda s: cluster(cfg, s, tiled=tiled))(state)
+
+        out_1 = jax.jit(lambda s: correct(cfg, s, tiled=tiled))(st)
+        out_m = jax.jit(
+            lambda s: correct(cfg, s, tiled=tiled, mesh=mesh)
+        )(st)
+        # per-shard partial sums + psum reorder the fp32 moment
+        # accumulation; the ridge solve amplifies ~1e-5-relative W drift
+        # into ~1e-4-absolute Z_corr differences (same as the fused-vs-
+        # separate moment tolerance in test_tiled.py)
+        np.testing.assert_allclose(
+            np.asarray(out_m.Z_corr), np.asarray(out_1.Z_corr), atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_m.Y), np.asarray(out_1.Y), atol=2e-4
+        )
+
+    def test_sharded_moment_fusion_matches_separate(self):
+        """The moment table fused into the sharded final round (per-shard
+        accumulation + psum) equals the separate streaming pass over the
+        round's written R."""
+        from harmony_tpu.engine import cluster
+        from harmony_tpu.ops.pallas_ridge import pallas_tile_moments
+        from harmony_tpu.engine import make_engine
+
+        cfg, mesh, state, tiled = _tiled_problem()
+        engine = make_engine(cfg, codes=state.codes, mesh=mesh)
+        state = engine.init_cluster(state)
+        from harmony_tpu.sharding import shard_state
+
+        state = shard_state(state, mesh)
+        st, M = jax.jit(
+            lambda s: cluster(
+                cfg, s, mesh=mesh, tiled=tiled, return_moments=True
+            )
+        )(state)
+        assert M is not None, "sharded fusion gate did not activate"
+        n_joint = tiled.joint_codes.shape[1]
+        M_sep = pallas_tile_moments(
+            cfg, jnp.asarray(np.asarray(st.R), jnp.float32),
+            jnp.asarray(np.asarray(st.Z_orig), jnp.float32),
+            tiled.tile, jnp.asarray(tiled.tile_joint), n_joint,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(M), np.asarray(M_sep), rtol=1e-5, atol=1e-4
+        )
+
+    def test_sharded_virtual_matches_materialized(self):
+        """Sharded virtual R reproduces the sharded materialised run: same
+        PRNG path -> same per-shard schedules -> identical trajectories,
+        and the run-end materialised R equals the round-written R."""
+        from harmony_tpu.engine import make_engine
+        from harmony_tpu.sharding import shard_state
+
+        out = {}
+        for virtual in (False, True):
+            cfg, mesh, state, tiled = _tiled_problem(virtual=virtual)
+            engine = make_engine(cfg, codes=state.codes, mesh=mesh)
+            state = shard_state(state, mesh)
+            state = engine.init_cluster(state)
+            state = engine.run_rounds(state, jnp.int32(3))
+            if virtual:
+                assert state.virt_pen is not None, (
+                    "sharded virtual gate did not fire"
+                )
+                state = engine.materialize_r(state)
+            out[virtual] = state
+
+        np.testing.assert_allclose(
+            np.asarray(out[True].Z_corr), np.asarray(out[False].Z_corr),
+            atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[True].objective_harmony),
+            np.asarray(out[False].objective_harmony), rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[True].R), np.asarray(out[False].R), atol=1e-6
+        )
+
+
 def test_sharded_run_matches_single_device_quality():
     """End-to-end rotate+pallas run on a 4-device mesh converges to the
     same objective as the unsharded schedule (different stochastic order

@@ -1,0 +1,124 @@
+"""One process of a multi-process (multi-host analog) Harmony run.
+
+The reference has no distributed execution at all (SURVEY.md §2.3); the
+TPU-native framework's multi-host story is ``jax.distributed`` + a global
+cell-sharded mesh, with every cross-shard reduction a psum (ICI within a
+slice, DCN across — here the gloo CPU backend stands in for both, so the
+full coordinator/collective path is exercised without TPU pods).
+
+Run one process per "host":
+
+    python tools/multihost_worker.py --process-id 0 --num-processes 2 \
+        --port 12345 --local-devices 2 [--cells 16384]
+
+Each process prints one JSON line with the replicated objective trace; a
+driver (tests/test_multihost.py) asserts the processes agree with each
+other AND with a single-process run on an equally-sized mesh.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--port", type=int, required=True)
+    ap.add_argument("--local-devices", type=int, default=2)
+    ap.add_argument("--cells", type=int, default=16384)
+    ap.add_argument("--dims", type=int, default=8)
+    ap.add_argument("--batches", type=int, default=3)
+    ap.add_argument("--nclust", type=int, default=5)
+    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument(
+        "--single-process", action="store_true",
+        help="skip jax.distributed: one process owning the whole mesh "
+        "(the reference result the multi-process run must match)",
+    )
+    args = ap.parse_args()
+
+    n_global = args.local_devices * args.num_processes
+    flags = os.environ.get("XLA_FLAGS", "")
+    dev = args.local_devices if not args.single_process else n_global
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={dev}"
+    ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if not args.single_process:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+        from harmony_tpu.sharding import initialize_distributed
+
+        nproc = initialize_distributed(
+            coordinator_address=f"127.0.0.1:{args.port}",
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        assert nproc == args.num_processes, (nproc, args.num_processes)
+    assert jax.device_count() == n_global, (
+        jax.device_count(), n_global
+    )
+
+    import dataclasses
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from harmony_tpu.config import harmony_options
+    from harmony_tpu.engine import make_engine
+    from harmony_tpu.preprocess import (
+        build_design, expand_hyperparams, orient_embedding, resolve_config,
+    )
+    from harmony_tpu.sharding import make_mesh, shard_state
+    from harmony_tpu.state import init_state
+
+    # identical problem in every process (same seeds, host-side numpy)
+    rng = np.random.default_rng(0)
+    N, d, B = args.cells, args.dims, args.batches
+    batches = rng.integers(0, B, N)
+    Z = (rng.normal(size=(B, d)) * 0.8)[batches] + rng.normal(size=(N, d))
+    design = build_design({"dataset": batches.astype(str)}, ["dataset"])
+    options = harmony_options(block_size=0.25)
+    cfg = resolve_config(
+        n_cells=N, d=d, design=design, nclust=args.nclust,
+        max_iter=args.rounds, early_stop=False, options=options,
+        verbose=False,
+    )
+    cfg = dataclasses.replace(
+        cfg, shuffle_mode="rotate", estep_impl="pallas", estep_sub_tile=512,
+    )
+    mesh = make_mesh()  # all global devices
+    assert mesh.size == n_global
+    hp = expand_hyperparams(design, cfg.K, None, 0.1, 1.0, options.tau)
+    Zt = orient_embedding(Z, N)
+
+    host_codes = design.codes.astype(np.int32)
+    state = init_state(
+        cfg, Zt, design, hp.sigma, hp.theta, hp.lamb, jax.random.PRNGKey(0)
+    )
+    # place on the GLOBAL mesh (each process feeds its addressable shards)
+    state = shard_state(state, mesh)
+    engine = make_engine(cfg, codes=host_codes, mesh=mesh)
+    state = engine.init_cluster(state)
+    state = engine.run_rounds(state, jnp.int32(args.rounds))
+
+    # replicated traces are addressable everywhere
+    obj_k = np.asarray(state.objective_kmeans)[: int(state.n_kmeans)]
+    obj_h = np.asarray(state.objective_harmony)[: int(state.n_harmony)]
+    print(json.dumps({
+        "process_id": args.process_id,
+        "processes": jax.process_count(),
+        "global_devices": jax.device_count(),
+        "objective_kmeans": [float(x) for x in obj_k],
+        "objective_harmony": [float(x) for x in obj_h],
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
