@@ -23,19 +23,43 @@ from .api import run_harmony
 from .config import HarmonyConfigError
 
 
+def project_dim_loadings(adata, basis: str = "X_harmony") -> np.ndarray:
+    """Feature-loading projection of an ``obsm`` basis — the AnnData
+    analog of ``Seurat::ProjectDim`` (called by the Seurat adapter at
+    R/RunHarmony.R:112-119): project the feature-by-cell data matrix onto
+    the cell embeddings, ``loadings = X^T · emb`` (n_var, d). Works with
+    dense or scipy-sparse ``adata.X``; the result is written to
+    ``adata.varm[basis]`` by :func:`run_harmony_anndata` when
+    ``project_dim=True``."""
+    emb = np.asarray(adata.obsm[basis])
+    X = adata.X
+    if X is None:
+        raise HarmonyConfigError(
+            "project_dim requires adata.X (the feature matrix) to project "
+            "loadings; pass project_dim=False"
+        )
+    loadings = X.T @ emb  # sparse-friendly
+    return np.asarray(loadings)
+
+
 def run_harmony_anndata(
     adata,
     group_by_vars: Sequence[str],
     basis: str = "X_pca",
     adjusted_basis: str = "X_harmony",
     dims_use: Optional[Sequence[int]] = None,
+    project_dim: Optional[bool] = None,
     **kwargs,
 ):
     """Run Harmony on an AnnData object in place; returns the object.
 
     Parameters mirror ``RunHarmony.Seurat`` (R/RunHarmony.R:60-68):
     ``basis`` is ``reduction.use``, ``adjusted_basis`` is
-    ``reduction.save``, ``group_by_vars`` is ``group.by.vars``.
+    ``reduction.save``, ``group_by_vars`` is ``group.by.vars``, and
+    ``project_dim`` is ``project.dim`` — project feature loadings onto the
+    harmony basis into ``varm[adjusted_basis]`` (default: on when the
+    object carries a feature matrix ``X`` and a ``varm`` mapping,
+    mirroring the reference's default ``project.dim=TRUE``).
     """
     if basis not in adata.obsm:
         raise HarmonyConfigError(
@@ -66,6 +90,15 @@ def run_harmony_anndata(
         embedding[:, list(dims_use)], meta, list(group_by_vars), **kwargs
     )
     adata.obsm[adjusted_basis] = corrected
+    if project_dim is None:
+        project_dim = (
+            getattr(adata, "X", None) is not None
+            and getattr(adata, "varm", None) is not None
+        )
+    if project_dim:
+        adata.varm[adjusted_basis] = project_dim_loadings(
+            adata, adjusted_basis
+        )
     return adata
 
 

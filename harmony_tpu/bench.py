@@ -126,13 +126,15 @@ def run_bench(
     tiled_t = None
     if (
         cfg.shuffle_mode == "rotate"
-        and the_mesh is None
         and cfg.estep_impl == "pallas"
         and cfg.mstep_impl != "pallas"
         and cfg.mstep_mode in ("auto", "tiled")
         and os.environ.get("HARMONY_BENCH_TILED", "1") != "0"
     ):
-        tiled_t = choose_tiled_tile(cfg, count_joint_levels(design.codes))
+        tiled_t = choose_tiled_tile(
+            cfg, count_joint_levels(design.codes),
+            n_shards=1 if the_mesh is None else the_mesh.size,
+        )
     if tiled_t:
         perm, _ = build_batch_tiled_order(design.codes, tiled_t, seed)
         Zt = Zt[:, perm]
@@ -156,7 +158,7 @@ def run_bench(
         np.asarray(st.O)
         np.asarray(st.Z_corr[:1, :1])
 
-    engine = make_engine(cfg, codes=state.codes)
+    engine = make_engine(cfg, codes=state.codes, mesh=the_mesh)
     state = engine.init_cluster(state)
     sync(state)
 

@@ -360,8 +360,14 @@ def finalize_engine_config(cfg: HarmonyConfig, mesh=None) -> HarmonyConfig:
         T = cfg.estep_sub_tile
         # VMEM budget: the round kernel holds ~2 double-buffered copies of
         # the (d+B+K) x T tile working set; shrink T so it stays well
-        # under a v5e core's 16 MB (large-K runs).
-        while T > 512 and 8 * T * (cfg.K + cfg.d + cfg.B) > 12 * 2**20:
+        # under a v5e core's 16 MB (large-K runs). B > 32 additionally
+        # allocates the (K, T) run-penalty scratch (pc_s) and its stack
+        # temporaries — measured scoped VMEM at K=100, d=50, B=100,
+        # T=4096 is 16.6 MB (over the 16 MB limit), so the large-B budget
+        # is tighter to land such shapes at T=2048.
+        pc_extra = 4 * cfg.K if cfg.B > 32 else 0
+        budget = (12 if cfg.B <= 32 else 7) * 2**20
+        while T > 512 and T * (8 * (cfg.K + cfg.d + cfg.B) + pc_extra) > budget:
             T //= 2
         per_block = max(cfg.Np // n_shards // max(cfg.n_blocks, 1), 1)
         fit = 128

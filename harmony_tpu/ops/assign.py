@@ -29,7 +29,13 @@ def compute_distances(Y: jnp.ndarray, Z: jnp.ndarray) -> jnp.ndarray:
 
     Y and Z columns must be L2-normalised.
     """
-    g = jnp.dot(Y.T, Z, preferred_element_type=jnp.float32)
+    # operands upcast: bf16 is a storage dtype; contractions run in f32
+    # (CPU has no bf16 dot kernels, and TPU rounds inputs per
+    # cfg.matmul_precision regardless)
+    g = jnp.dot(
+        Y.T.astype(jnp.float32), Z.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
     return (2.0 * (1.0 - g)).astype(Z.dtype)
 
 

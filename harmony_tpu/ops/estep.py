@@ -97,7 +97,8 @@ def block_update_round(
     # no zeroing: they gathered the appended zero column.
     rsum_old = jnp.einsum("kbs->bk", R_blk)  # (nb, K)
     O_old = jnp.einsum(
-        "kbs,bsc->bkc", R_blk, oh, preferred_element_type=f32
+        "kbs,bsc->bkc", R_blk.astype(f32), oh.astype(f32),
+        preferred_element_type=f32,
     ).astype(dtype)  # (nb, K, B)
 
     theta_row = theta[None, :]
@@ -119,7 +120,9 @@ def block_update_round(
         O = O - O_old[i]
 
         # Step 2: recompute the block's assignments (src/harmony.cpp:318-323)
-        g = jnp.dot(Y.T, Z_b, preferred_element_type=f32)  # (K, S)
+        g = jnp.dot(
+            Y.T.astype(f32), Z_b.astype(f32), preferred_element_type=f32
+        )  # (K, S)
         d_b = (2.0 * (1.0 - g)).astype(dtype)
         R_n = jnp.exp(-d_b / sigma_col)
         R_n = l1_normalize_columns(R_n)
@@ -133,7 +136,9 @@ def block_update_round(
         # Step 3: add the block back + objective accumulators
         rs = jnp.sum(R_n, axis=1, keepdims=True)
         E = E + rs * Pr_b[None, :]
-        O = O + jnp.dot(R_n, oh_b, preferred_element_type=f32).astype(dtype)
+        O = O + jnp.dot(
+            R_n.astype(f32), oh_b.astype(f32), preferred_element_type=f32
+        ).astype(dtype)
         Rf = R_n.astype(f32)
         acc_d = acc_d + jnp.sum(Rf * d_b.astype(f32))
         acc_e = acc_e + jnp.sum(
@@ -273,10 +278,15 @@ def rotate_update_round(
             * live[None, :]
         )
         E = E - jnp.sum(R_b_old, axis=1, keepdims=True) * Pr_b[None, :]
-        O = O - jnp.dot(R_b_old, oh_b, preferred_element_type=f32).astype(dtype)
+        O = O - jnp.dot(
+            R_b_old.astype(f32), oh_b.astype(f32),
+            preferred_element_type=f32,
+        ).astype(dtype)
 
         # Step 2: recompute the block's assignments (src/harmony.cpp:318-323)
-        g = jnp.dot(Y.T, Z_b, preferred_element_type=f32)
+        g = jnp.dot(
+            Y.T.astype(f32), Z_b.astype(f32), preferred_element_type=f32
+        )
         d_b = (2.0 * (1.0 - g)).astype(dtype)
         R_n = jnp.exp(-d_b / sigma_col)
         R_n = l1_normalize_columns(R_n)
@@ -290,7 +300,9 @@ def rotate_update_round(
         # Step 3: add the block back + objective accumulators
         rs = jnp.sum(R_n, axis=1, keepdims=True)
         E = E + rs * Pr_b[None, :]
-        O = O + jnp.dot(R_n, oh_b, preferred_element_type=f32).astype(dtype)
+        O = O + jnp.dot(
+            R_n.astype(f32), oh_b.astype(f32), preferred_element_type=f32
+        ).astype(dtype)
         Rf = R_n.astype(f32)
         acc_d = acc_d + jnp.sum(Rf * d_b.astype(f32))
         acc_e = acc_e + jnp.sum(

@@ -42,7 +42,10 @@ def _seed_centroids(
     # so all K distance rows come from one (K, d) x (d, N) MXU matmul; the
     # sequential part is just the race argmin + dedupe on (N,) vectors.
     D = jnp.abs(
-        2.0 * (1.0 - jnp.dot(Y0.T, Xv, preferred_element_type=jnp.float32))
+        2.0 * (1.0 - jnp.dot(
+            Y0.T.astype(jnp.float32), Xv.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ))
     ).astype(X.dtype)  # (K, n_valid)
 
     def body(chosen, inp):
@@ -71,7 +74,10 @@ def _lloyd_round(
     """
     K = Y.shape[1]
     # argmin_k ||x - y_k||^2 = argmin_k (||y_k||^2 - 2 y_k^T x)
-    g = jnp.dot(Y.T, X, preferred_element_type=jnp.float32)  # (K, N)
+    g = jnp.dot(
+        Y.T.astype(jnp.float32), X.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )  # (K, N)
     sq = jnp.sum(
         Y.astype(jnp.float32) ** 2, axis=0
     )  # (K,)

@@ -342,7 +342,8 @@ _V2_ROWS = 4
 
 
 def _assign_tile(
-    Yt, Z_t, codes_ref, pen, sigma_col, inv2sig_col, *, offsets, B, variant
+    Yt, Z_t, codes_ref, pen, sigma_col, inv2sig_col, *, offsets, B, variant,
+    pc=None,
 ):
     """Assignments of one (d, T) tile against block-removed penalty ``pen``.
 
@@ -352,14 +353,27 @@ def _assign_tile(
     round's assignments BIT-IDENTICALLY — per-column results depend only
     on (Y, the cell's column, pen, sigma) and the op order fixed here, not
     on tile boundaries. Returns (R_n, ohT, g, colsum1, colsum_g).
+
+    ``pc`` optionally injects the per-cell penalty gather (K, T) computed
+    by the caller (the run-broadcast form on batch-pure runs). Every form
+    — select chain, one-hot matmul, run broadcast — produces the SAME
+    bits: each entry is exactly ``pen[k, code(t)]`` (products by exact
+    0/1 and additions of 0 are exact), so callers may mix forms freely
+    without breaking the virtual-R bit-identity contract.
     """
     T = Z_t.shape[1]
     # ohT is only consumed by the penalty matmul (B > 32) and by callers'
     # one-hot contractions; with the select-chain gather it never
     # materialises here (callers build it on demand)
-    ohT = None if B <= 32 else _build_ohT(codes_ref, offsets, B, T)
+    ohT = (
+        None
+        if (B <= 32 or pc is not None)
+        else _build_ohT(codes_ref, offsets, B, T)
+    )
     g = jnp.dot(Yt, Z_t, preferred_element_type=jnp.float32)
-    if B <= 32:
+    if pc is not None:
+        pass
+    elif B <= 32:
         # penalty gather as a B-pass select chain: the (K,B)x(B,T) one-hot
         # matmul pads B to 128 MXU lanes (~13x waste at B=10) and measures
         # +2.6 us/step, while the selects hide entirely behind the tile
@@ -553,6 +567,7 @@ def _round_kernel_v2(
         next(it), next(it), next(it), next(it), next(it), next(it),
     )
     tO_s = next(it) if rsub else None
+    pc_s = next(it) if (rsub and B > 32) else None
     Macc_s = next(it) if msub else None
     accv_s = next(it)
     s = pl.program_id(0)
@@ -597,9 +612,48 @@ def _round_kernel_v2(
     # (src/harmony.cpp:318-323); invalid cells (code -1) have all-zero
     # one-hot columns, so the guarded normalise leaves inert zero columns.
     Z_t = Z_ref[:]  # (d, T)
+    T_pc = Z_t.shape[1]
+    pc_in = None
+    if pc_s is not None:
+        # Large-B penalty gather without the (K, B)x(B, T) one-hot matmul
+        # (which at B=100 costs ~2.5x the gram matmul after 128-lane
+        # padding): on a batch-pure run the penalty column is constant, so
+        # gather pen at the rsub run codes — a tiny (K, B)x(B, rsub)
+        # product — and lane-broadcast each column over its run. Mixed/pad
+        # runs (sentinel codes) fall back to the exact one-hot contraction
+        # per tile. Both forms produce bit-identical pc (see _assign_tile).
+        rb_pc = runb_ref[0, 0:1, 0:rsub]  # (1, rsub)
+        pure_pc = jnp.min(rb_pc) >= 0
+
+        @pl.when(pure_pc)
+        def _():
+            runmapT = (
+                rb_pc == jax.lax.broadcasted_iota(jnp.int32, (B, rsub), 0)
+            ).astype(jnp.float32)  # (B, rsub)
+            pen_run = jnp.dot(
+                pen_s[:], runmapT, preferred_element_type=jnp.float32
+            )  # (K, rsub)
+            Tr = T_pc // rsub
+            K_pc = pen_run.shape[0]
+            pc_s[:] = jnp.concatenate(
+                [
+                    jnp.broadcast_to(pen_run[:, j : j + 1], (K_pc, Tr))
+                    for j in range(rsub)
+                ],
+                axis=1,
+            )
+
+        @pl.when(~pure_pc)
+        def _():
+            oh_pc = _build_ohT(codes_ref, offsets, B, T_pc)
+            pc_s[:] = jnp.dot(
+                pen_s[:], oh_pc, preferred_element_type=jnp.float32
+            )
+
+        pc_in = pc_s[:]
     R_n, ohT, g, colsum1, colsum_g = _assign_tile(
         Yt_ref[:], Z_t, codes_ref, pen_s[:], sigma_ref[:], inv2sig_ref[:],
-        offsets=offsets, B=B, variant=variant,
+        offsets=offsets, B=B, variant=variant, pc=pc_in,
     )
 
     # per-tile stats: this IS the add-back bookkeeping AND the next round's
@@ -842,6 +896,8 @@ def pallas_rotate_update_round_v2(
             )
         )
         scratch.append(pltpu.VMEM((K, B), f32))  # tO_s
+        if B > 32:
+            scratch.append(pltpu.VMEM((K, T), f32))  # pc_s (run penalty)
     msub = 0
     if moments is not None:
         msub = T // moments.tile

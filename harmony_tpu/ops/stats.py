@@ -34,8 +34,10 @@ def compute_O(R: jnp.ndarray, codes: jnp.ndarray, offsets: Tuple[int, ...],
     single MXU contraction; the segment layout / Pallas path replaces this at
     large N.
     """
-    Phi_t = one_hot_design(codes, offsets, B, dtype=R.dtype).T  # (N, B)
-    return jnp.dot(R, Phi_t, preferred_element_type=jnp.float32).astype(R.dtype)
+    Phi_t = one_hot_design(codes, offsets, B, dtype=jnp.float32).T  # (N, B)
+    return jnp.dot(
+        R.astype(jnp.float32), Phi_t, preferred_element_type=jnp.float32
+    ).astype(R.dtype)
 
 
 def compute_E(R: jnp.ndarray, Pr_b: jnp.ndarray) -> jnp.ndarray:

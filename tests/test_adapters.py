@@ -10,12 +10,15 @@ from conftest import make_synthetic
 
 
 class FakeAnnData:
-    """Minimal AnnData protocol: obsm mapping, obs mapping, n_obs."""
+    """Minimal AnnData protocol: obsm/varm mappings, obs mapping, n_obs,
+    optional feature matrix X."""
 
-    def __init__(self, X_pca, obs):
+    def __init__(self, X_pca, obs, X=None):
         self.obsm = {"X_pca": X_pca}
+        self.varm = {}
         self.obs = obs
         self.n_obs = X_pca.shape[0]
+        self.X = X
 
 
 @pytest.fixture()
@@ -51,6 +54,62 @@ def test_anndata_errors(adata):
         run_harmony_anndata(adata, ["dataset"], dims_use=[0])
     with pytest.raises(HarmonyConfigError):
         run_harmony_anndata(adata, ["dataset"], dims_use=[0, 99])
+
+
+class TestProjectDim:
+    """The Seurat adapter's ProjectDim step (R/RunHarmony.R:112-119):
+    feature loadings projected onto the harmony basis, written to varm."""
+
+    def _adata_with_X(self, sparse=False):
+        Z, meta = make_synthetic(None, n_cells=150, d=8, seed=8)
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(150, 40))
+        if sparse:
+            import scipy.sparse as sp
+
+            X = sp.csr_matrix(np.where(np.abs(X) > 1.0, X, 0.0))
+        return FakeAnnData(Z, meta, X=X), X
+
+    @pytest.mark.parametrize("sparse", [False, True])
+    def test_loadings_written(self, sparse):
+        adata, X = self._adata_with_X(sparse=sparse)
+        run_harmony_anndata(adata, ["dataset"], nclust=5, max_iter=2, seed=0)
+        emb = adata.obsm["X_harmony"]
+        load = adata.varm["X_harmony"]
+        assert load.shape == (40, 8)
+        Xd = X.toarray() if sparse else X
+        np.testing.assert_allclose(load, Xd.T @ emb, rtol=1e-5)
+
+    def test_opt_out_and_no_X(self):
+        adata, _ = self._adata_with_X()
+        run_harmony_anndata(
+            adata, ["dataset"], nclust=5, max_iter=1, seed=0,
+            project_dim=False,
+        )
+        assert "X_harmony" not in adata.varm
+        # no feature matrix: default silently skips; explicit opt-in raises
+        Z, meta = make_synthetic(None, n_cells=150, d=8, seed=8)
+        bare = FakeAnnData(Z, meta)
+        run_harmony_anndata(bare, ["dataset"], nclust=5, max_iter=1, seed=0)
+        assert "X_harmony" not in bare.varm
+        with pytest.raises(HarmonyConfigError, match="project_dim"):
+            run_harmony_anndata(
+                bare, ["dataset"], nclust=5, max_iter=1, seed=0,
+                project_dim=True,
+            )
+
+    def test_real_anndata_when_importable(self):
+        anndata = pytest.importorskip("anndata")
+        Z, meta = make_synthetic(None, n_cells=150, d=8, seed=8)
+        rng = np.random.default_rng(0)
+        ad = anndata.AnnData(
+            X=rng.normal(size=(150, 30)).astype(np.float32),
+            obs={"dataset": meta["dataset"]},
+        )
+        ad.obsm["X_pca"] = Z.astype(np.float32)
+        run_harmony_anndata(ad, ["dataset"], nclust=5, max_iter=2, seed=0)
+        assert ad.obsm["X_harmony"].shape == (150, 8)
+        assert ad.varm["X_harmony"].shape == (30, 8)
 
 
 def test_generic_dispatch_on_anndata(adata):

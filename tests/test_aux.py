@@ -132,6 +132,70 @@ class TestCheckpoint:
         cfg2, state2 = load_checkpoint(p, Z=Zt, design=design)
         assert int(state2.n_rounds) >= 2
 
+    def test_orbax_sharded_resume_matches_uninterrupted(self, tmp_path):
+        """Orbax checkpoint of a MESH run: save after round 1, restore,
+        re-shard, continue 1 round — trajectory must match the
+        uninterrupted 2-round sharded run (SURVEY.md §5 checkpoint plan;
+        restart-friendliness holds under sharding because correction
+        recomputes from Z_orig and re-entry re-derives R)."""
+        from harmony_tpu.checkpoint import (
+            load_checkpoint_orbax, save_checkpoint_orbax,
+        )
+        from harmony_tpu.config import harmony_options
+        from harmony_tpu.preprocess import (
+            build_design, expand_hyperparams, orient_embedding,
+            resolve_config,
+        )
+        from harmony_tpu.sharding import make_mesh, shard_state
+        from harmony_tpu.state import init_state
+        import dataclasses
+        import jax.numpy as jnp
+
+        Z, meta = make_synthetic(None, n_cells=512, d=8, seed=11)
+        design = build_design(meta, ["dataset"])
+        options = harmony_options()
+        cfg = resolve_config(
+            n_cells=512, d=8, design=design, nclust=6, max_iter=2,
+            early_stop=False, options=options, verbose=False,
+        )
+        mesh = make_mesh(4)
+        from harmony_tpu.sharding import pad_for_mesh
+
+        cfg = pad_for_mesh(cfg, mesh)
+        hp = expand_hyperparams(design, cfg.K, None, 0.1, 1.0, options.tau)
+        Zt = orient_embedding(Z, 512)
+
+        def fresh():
+            state = init_state(
+                cfg, Zt, design, hp.sigma, hp.theta, hp.lamb,
+                jax.random.PRNGKey(4),
+            )
+            state = shard_state(state, mesh)
+            engine = make_engine(cfg, codes=state.codes, mesh=mesh)
+            return engine, engine.init_cluster(state)
+
+        engine, state = fresh()
+        ref = engine.run_rounds(state, jnp.int32(2))
+
+        engine, state = fresh()
+        state = engine.run_rounds(state, jnp.int32(1))
+        p = str(tmp_path / "orbax_ckpt")
+        save_checkpoint_orbax(p, cfg, state)
+        cfg2, restored = load_checkpoint_orbax(p)
+        assert cfg2 == cfg
+        restored = shard_state(restored, mesh)
+        engine2 = make_engine(cfg2, codes=restored.codes, mesh=mesh)
+        resumed = engine2.run_rounds(restored, jnp.int32(1))
+
+        np.testing.assert_allclose(
+            np.asarray(resumed.Z_corr), np.asarray(ref.Z_corr), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(resumed.objective_harmony),
+            np.asarray(ref.objective_harmony), rtol=1e-6,
+        )
+        assert int(resumed.n_rounds) == int(ref.n_rounds) == 2
+
     def test_minimal_requires_inputs(self, tmp_path):
         _, _, obj = _result()
         p = str(tmp_path / "m.npz")

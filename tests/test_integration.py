@@ -65,6 +65,36 @@ def test_theta_monotonicity_chi2():
     assert chi2(obj0) > chi2(obj1)
 
 
+def test_bfloat16_end_to_end():
+    """dtype='bfloat16' (bf16 storage, f32 contractions — the analog of
+    the reference's dual-precision build, configure:185-199) must run end
+    to end: finite output, decreasing objective, chi2 theta-monotonicity
+    preserved, on both shuffle schedules."""
+    Z, meta = make_synthetic(None, n_cells=400, d=12, seed=7)
+    chi2 = lambda o: float(
+        np.sum((np.float64(o.O) - np.float64(o.E)) ** 2 / np.float64(o.E))
+    )
+    for mode in ("permute", "rotate"):
+        res = run_harmony(
+            Z, meta, ["dataset"], nclust=8, max_iter=3, seed=0,
+            dtype="bfloat16", shuffle_mode=mode, return_object=True,
+        )
+        assert str(res.state.Z_corr.dtype) == "bfloat16"
+        assert np.all(np.isfinite(res.embeddings))
+        np.testing.assert_allclose(res.R.sum(axis=0), 1.0, atol=2e-2)
+        oh = np.asarray(res.objective_harmony, np.float64)
+        assert oh[-1] < oh[0]
+    lo = run_harmony(
+        Z, meta, ["dataset"], theta=0.0, nclust=20, max_iter=2,
+        return_object=True, seed=2, dtype="bfloat16",
+    )
+    hi = run_harmony(
+        Z, meta, ["dataset"], theta=1.0, nclust=5, max_iter=2,
+        return_object=True, seed=2, dtype="bfloat16",
+    )
+    assert chi2(lo) > chi2(hi)
+
+
 def test_error_paths():
     Z, meta = make_synthetic(None, n_cells=100, d=6, seed=5)
     with pytest.raises(HarmonyConfigError):
