@@ -206,6 +206,9 @@ def run_harmony(
     shuffle_mode: str = "permute",
     estep_impl: str = "auto",
     mstep_impl: str = "auto",
+    abort=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 1,
     **legacy,
 ):
     """Run Harmony integration on a cell-embedding matrix.
@@ -224,6 +227,13 @@ def run_harmony(
     fresh random cell permutation per clustering round; ``"rotate"`` is the
     statistically-equivalent zero-gather schedule for production-scale runs
     (see PERFORMANCE.md).
+
+    ``abort`` (a :class:`harmony_tpu.runtime.AbortFlag`) enables
+    cooperative interruption; ``checkpoint_path`` enables periodic
+    crash-recovery checkpoints every ``checkpoint_every`` rounds (see
+    :mod:`harmony_tpu.checkpoint`). A diverged run (non-finite objective)
+    raises :class:`harmony_tpu.runtime.DivergenceError` without
+    overwriting the last good checkpoint.
 
     Returns (N, d) corrected embeddings, or a :class:`HarmonyResult` when
     ``return_object=True``.
@@ -332,7 +342,10 @@ def run_harmony(
         if init_Y.shape != (cfg.d, cfg.K):
             raise ValueError(f"init_Y must be (d, K)={cfg.d, cfg.K}")
 
-    state = _run(cfg, state, verbose=verbose, Y0=init_Y, mesh=mesh)
+    state = _run(
+        cfg, state, verbose=verbose, Y0=init_Y, mesh=mesh, abort=abort,
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+    )
 
     result = HarmonyResult(
         config=cfg, state=state, design=design, ingest_inv=ingest_inv

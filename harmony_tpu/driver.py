@@ -30,6 +30,24 @@ def _ensure_verbose_handler():
         logger.setLevel(logging.INFO)
 
 
+def _check_finite(state: HarmonyState, where: str = "") -> None:
+    """Failure detection: fail loudly on a diverged objective trace.
+
+    One host fetch of the (tiny, replicated) harmony-objective trace;
+    callers invoke it only at points that already synchronise with the
+    device (per-round convergence fetches, end-of-run materialise), so it
+    adds no extra device round-trips."""
+    from .runtime import DivergenceError
+
+    n = int(state.n_harmony)
+    if n < 1:
+        return
+    obj = np.asarray(state.objective_harmony[:n], dtype=np.float64)
+    if not np.isfinite(obj).all():
+        bad = int(np.argmax(~np.isfinite(obj)))
+        raise DivergenceError(bad, obj[max(0, bad - 2): bad + 1].tolist())
+
+
 def harmonize(
     engine: Engine,
     state: HarmonyState,
@@ -93,10 +111,13 @@ def harmonize(
                 k = min(max(abort_poll_rounds, 1), max_iter - done)
                 state = engine.run_rounds(state, jnp.int32(k))
                 done += k
+                _check_finite(state)
                 if done < max_iter and bool(engine.harmony_converged(state)):
                     break
         # virtual-R runs rematerialise the user-facing R once per run
-        return engine.materialize_r(state)
+        state = engine.materialize_r(state)
+        _check_finite(state)
+        return state
 
     for it in range(max_iter):
         if abort is not None and abort.aborted():
@@ -109,6 +130,9 @@ def harmonize(
             # one dispatch per round (see engine.harmony_round)
             state = engine.round(state)
         converged = bool(engine.harmony_converged(state))
+        # failure detection before the checkpoint write: a diverged state
+        # must never overwrite the last good checkpoint on disk
+        _check_finite(state)
         if checkpoint_path and (it + 1) % checkpoint_every == 0:
             from .checkpoint import save_checkpoint
 
@@ -136,6 +160,9 @@ def run(
     Y0: Optional[np.ndarray] = None,
     perms: Optional[np.ndarray] = None,
     mesh=None,
+    abort=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 1,
 ) -> HarmonyState:
     """init_cluster + harmonize, returning the final state."""
     engine = make_engine(cfg, codes=state.codes, mesh=mesh)
@@ -143,4 +170,7 @@ def run(
         state = engine.init_cluster_from(state, jnp.asarray(Y0))
     else:
         state = engine.init_cluster(state)
-    return harmonize(engine, state, verbose=verbose, perms=perms)
+    return harmonize(
+        engine, state, verbose=verbose, perms=perms, abort=abort,
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+    )

@@ -88,6 +88,29 @@ class PhaseTimers:
         return dict(self._acc)
 
 
+class DivergenceError(RuntimeError):
+    """The objective trace went non-finite (NaN/Inf) mid-run.
+
+    The reference has no failure detection (SURVEY.md §5 — it only
+    error-codes a user abort, R/utils.R:27-32); at production scale a
+    numerically diverged run must fail loudly instead of silently
+    iterating on NaNs. The driver raises this as soon as a fetched
+    objective is non-finite; if checkpointing is enabled the last *good*
+    checkpoint on disk is the recovery point (the algorithm is
+    restart-friendly, SURVEY.md §5)."""
+
+    def __init__(self, round_idx: int, values):
+        self.round_idx = round_idx
+        self.values = values
+        super().__init__(
+            f"harmony objective became non-finite at round {round_idx + 1} "
+            f"(objective trace tail: {values}); the run has diverged — "
+            "check input scaling (embeddings should be PCA-scaled), sigma "
+            "> 0, and lambda >= 0; resume from the last checkpoint after "
+            "fixing inputs"
+        )
+
+
 class AbortFlag:
     """Cooperative abort (the analog of ``Progress::check_abort``,
     src/harmony.cpp:233-234): the driver polls between device steps."""

@@ -330,3 +330,38 @@ def test_abort_flag():
     assert not f.aborted()
     f.set()
     assert f.aborted()
+
+
+class TestFailureDetection:
+    """Divergence detection (runtime.DivergenceError): a non-finite
+    objective fails loudly instead of silently iterating on NaNs. The
+    reference has no such guard (SURVEY.md §5 lists failure detection as
+    absent); this is the production-framework upgrade."""
+
+    def _poisoned(self):
+        Z, meta = make_synthetic(None, n_cells=200, d=8, seed=3)
+        Z = Z.copy()
+        Z[0, 0] = np.nan
+        return Z, meta
+
+    def test_fast_path_raises(self):
+        from harmony_tpu.runtime import DivergenceError
+
+        Z, meta = self._poisoned()
+        with pytest.raises(DivergenceError, match="non-finite"):
+            run_harmony(Z, meta, ["dataset"], nclust=8, max_iter=2, seed=3)
+
+    def test_host_loop_does_not_overwrite_good_checkpoint(self, tmp_path):
+        from harmony_tpu.runtime import DivergenceError
+
+        Z, meta = self._poisoned()
+        p = str(tmp_path / "ckpt.npz")
+        # verbose=True forces the per-round host loop; the divergence check
+        # runs before the round's checkpoint write, so the poisoned state
+        # never reaches disk
+        with pytest.raises(DivergenceError):
+            run_harmony(
+                Z, meta, ["dataset"], nclust=8, max_iter=2, seed=3,
+                verbose=True, checkpoint_path=p,
+            )
+        assert not os.path.exists(p)
