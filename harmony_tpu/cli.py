@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import csv
 import json
+import os
 import sys
 import time
 
@@ -35,32 +36,70 @@ def _load_meta(path: str):
     return cols
 
 
+def _resume_run(args, Z, meta) -> np.ndarray:
+    """Continue a crashed run from ``--checkpoint`` (minimal checkpoints
+    need the original embedding/design re-supplied; the CLI has both
+    files at hand). Runs up to ``--max-iter`` further rounds with the
+    usual early stop."""
+    from .api import HarmonyResult
+    from .checkpoint import load_checkpoint
+    from .driver import harmonize
+    from .engine import make_engine
+    from .preprocess import build_design, orient_embedding
+
+    design = build_design(meta, args.vars.split(","))
+    Zd = orient_embedding(Z, design.n_cells, verbose=args.verbose)
+    cfg, state = load_checkpoint(
+        args.checkpoint, Z=Zd, design=design, extra_rounds=args.max_iter
+    )
+    engine = make_engine(cfg, codes=state.codes)
+    state = harmonize(
+        engine, state, max_iter=args.max_iter, verbose=args.verbose,
+        checkpoint_path=args.checkpoint,
+    )
+    res = HarmonyResult(config=cfg, state=state, design=design,
+                        ingest_inv=None)
+    return res.embeddings
+
+
 def _cmd_run(args) -> int:
     from .api import run_harmony
     from .config import harmony_options
 
+    if args.checkpoint and args.shuffle_mode != "permute":
+        # rotate mode holds state in ingest-shuffled order; the CLI resume
+        # path cannot reconstruct that order from a minimal checkpoint
+        print("--checkpoint requires --shuffle-mode permute",
+              file=sys.stderr)
+        return 2
+
     Z = _load_matrix(args.embeddings)
     meta = _load_meta(args.meta)
-    theta = None
-    if args.theta is not None:
-        theta = [float(t) for t in args.theta.split(",")]
-        if len(theta) == 1:
-            theta = theta[0]
     t0 = time.perf_counter()
-    out = run_harmony(
-        Z,
-        meta,
-        args.vars.split(","),
-        theta=theta,
-        nclust=args.nclust,
-        lamb=args.lamb,
-        max_iter=args.max_iter,
-        seed=args.seed,
-        verbose=args.verbose,
-        shuffle_mode=args.shuffle_mode,
-        mesh=args.mesh,
-        options=harmony_options(),
-    )
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        print(f"resuming from checkpoint {args.checkpoint}")
+        out = _resume_run(args, Z, meta)
+    else:
+        theta = None
+        if args.theta is not None:
+            theta = [float(t) for t in args.theta.split(",")]
+            if len(theta) == 1:
+                theta = theta[0]
+        out = run_harmony(
+            Z,
+            meta,
+            args.vars.split(","),
+            theta=theta,
+            nclust=args.nclust,
+            lamb=args.lamb,
+            max_iter=args.max_iter,
+            seed=args.seed,
+            verbose=args.verbose,
+            shuffle_mode=args.shuffle_mode,
+            mesh=args.mesh,
+            options=harmony_options(),
+            checkpoint_path=args.checkpoint,
+        )
     dt = time.perf_counter() - t0
     np.save(args.out, out)
     print(f"wrote {args.out}  shape={out.shape}  ({dt:.2f}s)")
@@ -99,6 +138,11 @@ def main(argv=None) -> int:
     pr.add_argument(
         "--mesh", choices=["auto"], default=None,
         help="'auto' shards cells over all local devices",
+    )
+    pr.add_argument(
+        "--checkpoint", default=None, metavar="PATH",
+        help="write a crash-recovery checkpoint every round; if PATH "
+        "already exists, resume from it (permute shuffle mode only)",
     )
     pr.add_argument("--verbose", action="store_true")
     pr.set_defaults(fn=_cmd_run)

@@ -58,3 +58,37 @@ def test_cli_bench_json_line(capsys):
     payload = json.loads(line)
     assert payload["metric"] == "cells_per_sec_per_chip_per_harmony_iter"
     assert payload["value"] > 0
+
+
+def test_cli_checkpoint_and_resume(io_files, tmp_path, capsys):
+    emb, meta, out = io_files
+    ckpt = str(tmp_path / "run.ckpt.npz")
+    base = [
+        "run", "--embeddings", emb, "--meta", meta, "--vars", "dataset",
+        "--out", out, "--nclust", "4", "--checkpoint", ckpt,
+    ]
+    rc = main(base + ["--max-iter", "1"])
+    assert rc == 0
+    import os
+
+    assert os.path.exists(ckpt)
+    first = np.load(out)
+
+    # second invocation sees the checkpoint and resumes instead of
+    # restarting (the crash-recovery CLI flow)
+    rc = main(base + ["--max-iter", "2"])
+    assert rc == 0
+    assert "resuming" in capsys.readouterr().out
+    resumed = np.load(out)
+    assert resumed.shape == first.shape
+    assert np.all(np.isfinite(resumed))
+
+
+def test_cli_checkpoint_rejects_rotate(io_files, tmp_path, capsys):
+    emb, meta, out = io_files
+    rc = main([
+        "run", "--embeddings", emb, "--meta", meta, "--vars", "dataset",
+        "--out", out, "--checkpoint", str(tmp_path / "c.npz"),
+        "--shuffle-mode", "rotate",
+    ])
+    assert rc == 2

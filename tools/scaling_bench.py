@@ -8,10 +8,21 @@ slice (run once per host under ``jax.distributed``, see
 multi-chip scaling of the psum-coupled engine.
 
 Usage: python tools/scaling_bench.py [--cells 2000000] [--devices 1 8]
+
+``JAX_PLATFORMS=cpu`` (+ ``XLA_FLAGS=--xla_force_host_platform_device_count=N``)
+selects the virtual-CPU-mesh mode; the explicit config update below makes
+that work even where a site plugin pre-sets the platform list at
+interpreter start (which silently discards the env var).
 """
 
 import argparse
 import json
+import os
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from harmony_tpu.bench import run_bench
 
