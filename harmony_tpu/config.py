@@ -361,12 +361,13 @@ def finalize_engine_config(cfg: HarmonyConfig, mesh=None) -> HarmonyConfig:
         # VMEM budget: the round kernel holds ~2 double-buffered copies of
         # the (d+B+K) x T tile working set; shrink T so it stays well
         # under a v5e core's 16 MB (large-K runs). B > 32 additionally
-        # allocates the (K, T) run-penalty scratch (pc_s) and its stack
-        # temporaries — measured scoped VMEM at K=100, d=50, B=100,
-        # T=4096 is 16.6 MB (over the 16 MB limit), so the large-B budget
-        # is tighter to land such shapes at T=2048.
+        # allocates the (K, T) run-penalty scratch (pc_s); its one-hot /
+        # penalty stack temporaries are built in _PC_CHUNK-column pieces
+        # (ops/pallas_rotate.py), which is what lands K=100, d=50, B=100
+        # at T=4096 (full-width temporaries measured 16.6 MB > the 16 MB
+        # scoped limit; chunked they fit).
         pc_extra = 4 * cfg.K if cfg.B > 32 else 0
-        budget = (12 if cfg.B <= 32 else 7) * 2**20
+        budget = (12 if cfg.B <= 32 else 10) * 2**20
         while T > 512 and T * (8 * (cfg.K + cfg.d + cfg.B) + pc_extra) > budget:
             T //= 2
         per_block = max(cfg.Np // n_shards // max(cfg.n_blocks, 1), 1)

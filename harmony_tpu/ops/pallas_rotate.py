@@ -119,6 +119,45 @@ def _build_ohT(codes_ref, offsets, B: int, T: int):
     return ohT
 
 
+_PC_CHUNK = 1024  # column chunk for large-B temporaries (VMEM stack budget)
+
+
+def _pc_chunks(pen, codes_ref, offsets, B: int, T: int):
+    """Yield (slice, pc_chunk) covering the tile: pc = pen x one-hot,
+    built ``_PC_CHUNK`` columns at a time so the (B, T) one-hot and (K, T)
+    product temporaries never materialise whole — at B=K=100, T=4096 the
+    full-width form alone holds 3.2 MB of kernel stack, which is what
+    pushes the round kernel past the 16 MB scoped-VMEM limit and forces
+    the tile shrink to T=2048 (the large-B throughput penalty). Each
+    column's value is the same B-contraction as the full-width dot, so
+    chunking is bit-transparent."""
+    nch = max(1, T // _PC_CHUNK)
+    Tc = T // nch
+    for i in range(nch):
+        sl = slice(i * Tc, (i + 1) * Tc)
+        oh_c = _build_ohT(codes_ref[:, sl], offsets, B, Tc)
+        yield sl, jnp.dot(pen, oh_c, preferred_element_type=jnp.float32)
+
+
+def _tO_chunked(R_n, codes_ref, offsets, B: int, T: int):
+    """(K, B) one-hot contraction of this tile's assignments, accumulated
+    ``_PC_CHUNK`` columns at a time (same VMEM-stack motivation as
+    :func:`_pc_chunks`; addition order over cells changes — tile stats are
+    f32 partial sums whose order is already tile-shape-dependent)."""
+    nch = max(1, T // _PC_CHUNK)
+    Tc = T // nch
+    tO = None
+    for i in range(nch):
+        sl = slice(i * Tc, (i + 1) * Tc)
+        oh_c = _build_ohT(codes_ref[:, sl], offsets, B, Tc)
+        part = jax.lax.dot_general(
+            R_n[:, sl], oh_c, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        tO = part if tO is None else tO + part
+    return tO
+
+
 def make_oh_pad(cfg: HarmonyConfig, codes: jnp.ndarray) -> jnp.ndarray:
     """(Npt, B) one-hot design, pad/invalid rows zero (tile-aligned)."""
     T = cfg.estep_sub_tile
@@ -362,14 +401,10 @@ def _assign_tile(
     without breaking the virtual-R bit-identity contract.
     """
     T = Z_t.shape[1]
-    # ohT is only consumed by the penalty matmul (B > 32) and by callers'
-    # one-hot contractions; with the select-chain gather it never
+    # ohT is consumed by callers' one-hot contractions; with the
+    # select-chain gather (B <= 32) or the chunked large-B build it never
     # materialises here (callers build it on demand)
-    ohT = (
-        None
-        if (B <= 32 or pc is not None)
-        else _build_ohT(codes_ref, offsets, B, T)
-    )
+    ohT = None
     g = jnp.dot(Yt, Z_t, preferred_element_type=jnp.float32)
     if pc is not None:
         pass
@@ -387,7 +422,12 @@ def _assign_tile(
                     jnp.float32
                 )
     else:
-        pc = jnp.dot(pen, ohT, preferred_element_type=jnp.float32)
+        # large-B penalty via the chunked one-hot matmul (bit-identical
+        # per column to the full-width dot; see _pc_chunks)
+        pc = jnp.concatenate(
+            [c for _, c in _pc_chunks(pen, codes_ref, offsets, B, T)],
+            axis=1,
+        )
 
     if variant == "legacy":
         # two-normalise form, matching the reference op-for-op
@@ -568,7 +608,6 @@ def _round_kernel_v2(
     )
     tO_s = next(it) if rsub else None
     pc_s = next(it) if (rsub and B > 32) else None
-    Macc_s = next(it) if msub else None
     accv_s = next(it)
     s = pl.program_id(0)
     n_steps = pl.num_programs(0)
@@ -582,7 +621,12 @@ def _round_kernel_v2(
         accv_s[0, 0] = 0.0
         accv_s[0, 1] = 0.0
         if msub:
-            Macc_s[...] = jnp.zeros_like(Macc_s)
+            # M_out doubles as the accumulator: unblocked outputs stay
+            # VMEM-resident for the whole grid, so accumulating here saves
+            # a second (n_joint+1, K, d+1) scratch copy — at B=100, K=100
+            # that 2 MB is the difference between T=4096 fitting scoped
+            # VMEM and the tile shrinking to 2048
+            M_out_ref[...] = jnp.zeros_like(M_out_ref)
 
     @pl.when(first == 1)
     def _():
@@ -635,20 +679,17 @@ def _round_kernel_v2(
             )  # (K, rsub)
             Tr = T_pc // rsub
             K_pc = pen_run.shape[0]
-            pc_s[:] = jnp.concatenate(
-                [
-                    jnp.broadcast_to(pen_run[:, j : j + 1], (K_pc, Tr))
-                    for j in range(rsub)
-                ],
-                axis=1,
-            )
+            # per-run slice stores (no full-width concatenate temporary —
+            # the (K, T) stack copy is what the VMEM budget pays for)
+            for j in range(rsub):
+                pc_s[:, j * Tr : (j + 1) * Tr] = jnp.broadcast_to(
+                    pen_run[:, j : j + 1], (K_pc, Tr)
+                )
 
         @pl.when(~pure_pc)
         def _():
-            oh_pc = _build_ohT(codes_ref, offsets, B, T_pc)
-            pc_s[:] = jnp.dot(
-                pen_s[:], oh_pc, preferred_element_type=jnp.float32
-            )
+            for sl, c in _pc_chunks(pen_s[:], codes_ref, offsets, B, T_pc):
+                pc_s[:, sl] = c
 
         pc_in = pc_s[:]
     R_n, ohT, g, colsum1, colsum_g = _assign_tile(
@@ -693,13 +734,18 @@ def _round_kernel_v2(
 
         @pl.when(~is_pure)
         def _():
-            oh_m = _build_ohT(codes_ref, offsets, B, T_t)
-            tO_s[:] = jax.lax.dot_general(
-                R_n, oh_m, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if B > 32:
+                tO_s[:] = _tO_chunked(R_n, codes_ref, offsets, B, T_t)
+            else:
+                oh_m = _build_ohT(codes_ref, offsets, B, T_t)
+                tO_s[:] = jax.lax.dot_general(
+                    R_n, oh_m, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
         tO = tO_s[:]
+    elif B > 32:
+        tO = _tO_chunked(R_n, codes_ref, offsets, B, T_t)  # (K, B)
     else:
         if ohT is None:
             ohT = _build_ohT(codes_ref, offsets, B, T_t)
@@ -771,7 +817,7 @@ def _round_kernel_v2(
                 [S, jnp.sum(R_sl, axis=1, keepdims=True)], axis=1
             )
             jid = tj_ref[tile * msub + j]
-            Macc_s[pl.ds(jid, 1)] = Macc_s[pl.ds(jid, 1)] + S[None]
+            M_out_ref[pl.ds(jid, 1)] = M_out_ref[pl.ds(jid, 1)] + S[None]
 
     @pl.when(last == 1)
     def _():
@@ -785,8 +831,6 @@ def _round_kernel_v2(
         O_out_ref[:] = O_s[:]
         acc_ref[0, 0] = accv_s[0, 0]
         acc_ref[0, 1] = accv_s[0, 1]
-        if msub:
-            M_out_ref[...] = Macc_s[...]
 
 
 def pallas_rotate_update_round_v2(
@@ -909,7 +953,6 @@ def pallas_rotate_update_round_v2(
             pl.BlockSpec((nj + 1, K, d + 1), lambda s, sc, tj: (0, 0, 0))
         )
         out_shape.append(jax.ShapeDtypeStruct((nj + 1, K, d + 1), f32))
-        scratch.append(pltpu.VMEM((nj + 1, K, d + 1), f32))  # Macc
         tj = moments.tile_joint
     else:
         tj = jnp.zeros((1,), jnp.int32)
@@ -1272,13 +1315,18 @@ def _reassign_kernel(
 
         @pl.when(~is_pure)
         def _():
-            oh_m = _build_ohT(codes_ref, offsets, B, T_t)
-            tO_s[:] = jax.lax.dot_general(
-                R_n, oh_m, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if B > 32:
+                tO_s[:] = _tO_chunked(R_n, codes_ref, offsets, B, T_t)
+            else:
+                oh_m = _build_ohT(codes_ref, offsets, B, T_t)
+                tO_s[:] = jax.lax.dot_general(
+                    R_n, oh_m, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
         tO = tO_s[:]
+    elif B > 32:
+        tO = _tO_chunked(R_n, codes_ref, offsets, B, T_t)  # (K, B)
     else:
         ohT = _build_ohT(codes_ref, offsets, B, T_t)
         tO = jax.lax.dot_general(

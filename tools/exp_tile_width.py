@@ -88,7 +88,11 @@ def main():
     from harmony_tpu.runtime import enable_compilation_cache
 
     enable_compilation_cache()
-    for T in (None, 2048, 1024):
+    ts = os.environ.get("EXP_T")
+    widths = (
+        [int(t) or None for t in ts.split(",")] if ts else [None, 2048, 1024]
+    )
+    for T in widths:
         measure(T)
 
 
