@@ -566,7 +566,10 @@ def run_rounds(
             virt_pen=jnp.zeros((nb, cfg.K, cfg.B), f32),
             virt_blkmap=jnp.zeros((NT,), jnp.int32),
             virt_Zn=jnp.zeros((cfg.d, Npt), f32),
-            virt_Y=jnp.zeros((cfg.d, cfg.K), f32),
+            # virt_Y is the raw state.Y snapshot (harmony_round), so the
+            # carry must match the engine dtype — a f32 zeros init breaks
+            # the run_rounds while_loop carry under dtype="bfloat16"
+            virt_Y=jnp.zeros((cfg.d, cfg.K), jnp.dtype(cfg.dtype)),
         )
 
     def body(carry):

@@ -32,7 +32,7 @@ from harmony_tpu.preprocess import (
 from harmony_tpu.state import init_state
 
 
-def _problem(B, N, virtual=False, seed=0, T=512):
+def _problem(B, N, virtual=False, seed=0, T=512, dtype="float32"):
     rng = np.random.default_rng(seed)
     d = 8
     batches = rng.integers(0, B, N)
@@ -41,7 +41,7 @@ def _problem(B, N, virtual=False, seed=0, T=512):
     options = harmony_options(block_size=0.25)
     cfg = resolve_config(
         n_cells=N, d=d, design=design, nclust=6, max_iter=2,
-        early_stop=False, options=options, verbose=False,
+        early_stop=False, options=options, verbose=False, dtype=dtype,
     )
     cfg = dataclasses.replace(
         cfg, shuffle_mode="rotate", estep_impl="pallas",
@@ -113,3 +113,19 @@ class TestLargeB:
         np.testing.assert_allclose(
             np.asarray(out[True].R), np.asarray(out[False].R), atol=1e-6
         )
+
+
+def test_virtual_run_rounds_bfloat16():
+    """dtype='bfloat16' through the whole-run dispatch on the virtual-R
+    pallas path: the virt_Y carry snapshots the bf16 state.Y, so a f32
+    zeros init breaks the while_loop carry (caught live on TPU; this
+    reproduces it in interpret mode)."""
+    cfg, state, tiled = _problem(33, 8704, virtual=True, dtype="bfloat16")
+    engine = make_engine(cfg, codes=state.codes)
+    state = engine.init_cluster(state)
+    state = engine.run_rounds(state, jnp.int32(2))
+    state = engine.materialize_r(state)
+    obj = np.asarray(state.objective_harmony, dtype=np.float64)
+    assert np.isfinite(obj).all()
+    R = np.asarray(state.R, dtype=np.float64)
+    np.testing.assert_allclose(R[:, : cfg.N].sum(0), 1.0, atol=5e-3)
