@@ -48,20 +48,38 @@ _MINIMAL_FIELDS = (
 _FULL_ONLY_FIELDS = ("Z_orig", "R", "codes")
 
 
+def normalize_checkpoint_path(path: str) -> str:
+    """The on-disk name always carries ``.npz`` (``np.savez`` would
+    silently append it otherwise, leaving resume-existence checks looking
+    at a name that is never written)."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_checkpoint(
     path: str, cfg: HarmonyConfig, state: HarmonyState, mode: str = "minimal"
 ) -> None:
     if mode not in ("minimal", "full"):
         raise ValueError("mode must be 'minimal' or 'full'")
+    path = normalize_checkpoint_path(path)
     fields = _MINIMAL_FIELDS + (_FULL_ONLY_FIELDS if mode == "full" else ())
     arrays = {f: np.asarray(getattr(state, f)) for f in fields}
     cfg_json = json.dumps(dataclasses.asdict(cfg))
-    np.savez_compressed(
-        path,
-        __config__=np.frombuffer(cfg_json.encode(), dtype=np.uint8),
-        __mode__=np.array(mode),
-        **arrays,
-    )
+    # Atomic update: a crash mid-write (the exact scenario checkpointing
+    # protects against) must not truncate the previous good checkpoint.
+    # Write to a temp file in the same directory and os.replace() it in.
+    tmp = path + f".tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as fh:
+            np.savez_compressed(
+                fh,
+                __config__=np.frombuffer(cfg_json.encode(), dtype=np.uint8),
+                __mode__=np.array(mode),
+                **arrays,
+            )
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def load_checkpoint(
@@ -80,7 +98,7 @@ def load_checkpoint(
     import jax
     import jax.numpy as jnp
 
-    z = np.load(path, allow_pickle=False)
+    z = np.load(normalize_checkpoint_path(path), allow_pickle=False)
     cfg_dict = json.loads(bytes(z["__config__"]).decode())
     cfg_dict["B_vec"] = tuple(cfg_dict["B_vec"])
     cfg = HarmonyConfig(**cfg_dict)

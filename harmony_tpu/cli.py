@@ -52,6 +52,25 @@ def _resume_run(args, Z, meta) -> np.ndarray:
     cfg, state = load_checkpoint(
         args.checkpoint, Z=Zd, design=design, extra_rounds=args.max_iter
     )
+    # Hyperparameters come from the checkpointed config on resume; flags
+    # that would change them are ignored — say so instead of silently
+    # running with the old values.
+    ignored = [
+        name for name, val, default in (
+            ("--nclust", args.nclust, None),
+            ("--theta", args.theta, None),
+            ("--lamb", args.lamb, None),
+            ("--seed", args.seed, 0),
+            ("--mesh", args.mesh, None),
+        ) if val != default
+    ]
+    if ignored:
+        print(
+            f"warning: resuming from {args.checkpoint}; ignoring "
+            f"{', '.join(ignored)} (hyperparameters come from the "
+            "checkpointed config). --max-iter counts ADDITIONAL rounds.",
+            file=sys.stderr,
+        )
     engine = make_engine(cfg, codes=state.codes)
     state = harmonize(
         engine, state, max_iter=args.max_iter, verbose=args.verbose,
@@ -76,6 +95,12 @@ def _cmd_run(args) -> int:
     Z = _load_matrix(args.embeddings)
     meta = _load_meta(args.meta)
     t0 = time.perf_counter()
+    if args.checkpoint:
+        # the file on disk always carries .npz (np.savez appends it);
+        # check the name that save_checkpoint actually writes
+        from .checkpoint import normalize_checkpoint_path
+
+        args.checkpoint = normalize_checkpoint_path(args.checkpoint)
     if args.checkpoint and os.path.exists(args.checkpoint):
         print(f"resuming from checkpoint {args.checkpoint}")
         out = _resume_run(args, Z, meta)
@@ -141,8 +166,10 @@ def main(argv=None) -> int:
     )
     pr.add_argument(
         "--checkpoint", default=None, metavar="PATH",
-        help="write a crash-recovery checkpoint every round; if PATH "
-        "already exists, resume from it (permute shuffle mode only)",
+        help="write a crash-recovery checkpoint every round ('.npz' is "
+        "appended if missing); if PATH already exists, resume from it — "
+        "hyperparameter flags are then ignored (the checkpointed config "
+        "wins) and --max-iter counts ADDITIONAL rounds",
     )
     pr.add_argument("--verbose", action="store_true")
     pr.set_defaults(fn=_cmd_run)

@@ -100,14 +100,33 @@ class DivergenceError(RuntimeError):
     restart-friendly, SURVEY.md §5)."""
 
     def __init__(self, round_idx: int, values):
+        # Trace index 0 is the *initialization* objective (init_cluster,
+        # before any harmony round); index i >= 1 is the objective after
+        # round i. A non-finite entry at index 0 means the input itself
+        # is bad — "resume from a checkpoint" would misdirect there.
         self.round_idx = round_idx
         self.values = values
+        if round_idx == 0:
+            where = (
+                "at initialization (the objective of the initial "
+                "clustering, before any harmony round — the input itself "
+                "is likely non-finite or badly scaled)"
+            )
+            advice = (
+                "check input scaling (embeddings should be PCA-scaled), "
+                "sigma > 0, and lambda >= 0"
+            )
+        else:
+            where = f"at round {round_idx}"
+            advice = (
+                "check input scaling (embeddings should be PCA-scaled), "
+                "sigma > 0, and lambda >= 0; resume from the last "
+                "checkpoint after fixing inputs"
+            )
         super().__init__(
-            f"harmony objective became non-finite at round {round_idx + 1} "
+            f"harmony objective became non-finite {where} "
             f"(objective trace tail: {values}); the run has diverged — "
-            "check input scaling (embeddings should be PCA-scaled), sigma "
-            "> 0, and lambda >= 0; resume from the last checkpoint after "
-            "fixing inputs"
+            f"{advice}"
         )
 
 

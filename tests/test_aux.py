@@ -44,6 +44,22 @@ class TestCheckpoint:
         state2 = harmonize(engine, state, max_iter=1)
         assert np.all(np.isfinite(np.asarray(state2.Z_corr)))
 
+    def test_atomic_overwrite_and_extension(self, tmp_path):
+        """Saves are atomic (temp + os.replace — no partial file can ever
+        sit at the target path) and the on-disk name always carries .npz
+        (ADVICE r2: np.savez appends it silently otherwise)."""
+        _, _, obj = _result()
+        p = str(tmp_path / "ckpt")  # extensionless
+        save_checkpoint(p, obj.config, obj.state, mode="full")
+        assert os.path.exists(p + ".npz") and not os.path.exists(p)
+        # overwrite in place; no temp residue left behind
+        save_checkpoint(p, obj.config, obj.state, mode="full")
+        assert [f for f in os.listdir(tmp_path) if "tmp" in f] == []
+        # load accepts either spelling
+        cfg_a, _ = load_checkpoint(p, extra_rounds=0)
+        cfg_b, _ = load_checkpoint(p + ".npz", extra_rounds=0)
+        assert cfg_a == cfg_b == obj.config
+
     def test_minimal_resume_matches_uninterrupted(self, tmp_path):
         """Stopping after 1 round and resuming for 1 more must match a
         straight 2-round run (restart-friendliness, SURVEY.md §5)."""

@@ -84,6 +84,45 @@ def test_cli_checkpoint_and_resume(io_files, tmp_path, capsys):
     assert np.all(np.isfinite(resumed))
 
 
+def test_cli_checkpoint_extension_normalized(io_files, tmp_path, capsys):
+    """A --checkpoint path without .npz still round-trips: np.savez
+    appends .npz, so the CLI must check the normalized name or crash
+    recovery is silently inert (ADVICE r2)."""
+    emb, meta, out = io_files
+    ckpt = str(tmp_path / "run.ckpt")  # no .npz
+    base = [
+        "run", "--embeddings", emb, "--meta", meta, "--vars", "dataset",
+        "--out", out, "--nclust", "4", "--checkpoint", ckpt,
+    ]
+    rc = main(base + ["--max-iter", "1"])
+    assert rc == 0
+    import os
+
+    assert os.path.exists(ckpt + ".npz")
+    rc = main(base + ["--max-iter", "1"])
+    assert rc == 0
+    assert "resuming" in capsys.readouterr().out
+
+
+def test_cli_resume_warns_on_ignored_flags(io_files, tmp_path, capsys):
+    emb, meta, out = io_files
+    ckpt = str(tmp_path / "run.ckpt.npz")
+    base = [
+        "run", "--embeddings", emb, "--meta", meta, "--vars", "dataset",
+        "--out", out, "--checkpoint", ckpt,
+    ]
+    rc = main(base + ["--nclust", "4", "--max-iter", "1"])
+    assert rc == 0
+    capsys.readouterr()
+    # changing --nclust on resume is ignored (config comes from the
+    # checkpoint); the CLI must say so instead of silently running the
+    # old hyperparameters
+    rc = main(base + ["--nclust", "8", "--max-iter", "1"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "--nclust" in err and "ignor" in err
+
+
 def test_cli_checkpoint_rejects_rotate(io_files, tmp_path, capsys):
     emb, meta, out = io_files
     rc = main([
