@@ -7,11 +7,67 @@ cells x 20 PCs on CPU, README.md:44 — recorded here as the baseline:
 9478 cells / 4 s / 10 rounds-ish ~= per-iteration throughput; see
 BASELINE.md). ``vs_baseline`` is measured throughput over the reference's
 implied CPU throughput on the quickstart dataset.
+
+Robustness contract (the capture harness runs this under an external
+timeout): the process keeps the best *valid* payload available so far and
+emits it — once — no matter how it exits:
+
+* an internal wall-clock budget (``HARMONY_BENCH_BUDGET``, seconds,
+  default 270) degrades the repeat count and returns early;
+* a watchdog thread fires at the budget even if the main thread is stuck
+  in a hung tunnel RPC, printing the best payload and exiting 0;
+* SIGTERM/SIGINT (what ``timeout(1)`` sends) do the same.
+
+A payload only exists after the warm-up run completes (there is no
+defensible number before any device round has been timed); if the kill
+arrives before that, nothing is printed — same observable outcome as
+today's timeout, never a fabricated figure.
 """
 
 import json
 import os
+import signal
 import sys
+import threading
+import time
+
+
+_BEST: dict = {}
+_EMITTED = threading.Event()
+_LOCK = threading.Lock()
+
+
+def _emit(rc: int) -> None:
+    """Print the best payload exactly once and hard-exit.
+
+    os._exit: the main thread may be blocked in a native RPC that would
+    swallow a normal SystemExit; flushing stdout first is all that the
+    capture harness needs.
+    """
+    with _LOCK:
+        if _EMITTED.is_set():
+            return
+        _EMITTED.set()
+        if _BEST:
+            sys.stdout.write(json.dumps(_BEST) + "\n")
+            sys.stdout.flush()
+            rc = 0
+    os._exit(rc)
+
+
+def _on_signal(signum, frame):
+    _emit(128 + signum)
+
+
+def _watchdog(deadline: float):
+    while not _EMITTED.is_set():
+        now = time.monotonic()
+        if now >= deadline and _BEST:
+            # past budget and a valid figure exists: emit it now.  Past
+            # budget with NO figure (still compiling): keep polling — the
+            # moment the warm-up lands a payload, it goes out.
+            _emit(0)
+        time.sleep(1.0 if now >= deadline else min(5.0, deadline - now))
 
 
 def main() -> int:
@@ -19,6 +75,17 @@ def main() -> int:
     d = int(os.environ.get("HARMONY_BENCH_DIMS", 50))
     n_batches = int(os.environ.get("HARMONY_BENCH_BATCHES", 10))
     nclust = int(os.environ.get("HARMONY_BENCH_K", 100))
+    budget = float(os.environ.get("HARMONY_BENCH_BUDGET", 270))
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    if budget > 0:
+        # the watchdog allows ~15s of grace over the measurement budget for
+        # run_bench's own budget-aware early return to land first
+        threading.Thread(
+            target=_watchdog, args=(time.monotonic() + budget + 15,),
+            daemon=True,
+        ).start()
 
     from harmony_tpu.bench import run_bench
 
@@ -28,12 +95,17 @@ def main() -> int:
     # aggregate -> per-harmony-iteration baseline ~= 9478 / (4/5) ~= 11848.
     baseline = 9478.0 / (4.0 / 5.0)
 
+    def keep_best(payload: dict) -> None:
+        with _LOCK:
+            _BEST.clear()
+            _BEST.update(payload)
+
     # max_iter: timed rounds. The final host fetch pays one tunnel
     # round-trip; amortise it over enough rounds that per-iter numbers
     # reflect device time.
     result = run_bench(
         n_cells=size, d=d, n_batches=n_batches, nclust=nclust,
-        max_iter=int(os.environ.get("HARMONY_BENCH_ITERS", 10)),
+        max_iter=int(os.environ.get("HARMONY_BENCH_ITERS", 40)),
         baseline_cells_per_sec=baseline,
         estep_impl=os.environ.get("HARMONY_BENCH_ESTEP"),
         mstep_mode=os.environ.get("HARMONY_BENCH_MSTEP"),
@@ -43,8 +115,14 @@ def main() -> int:
         # reference-exact schedule.
         shuffle_mode=os.environ.get("HARMONY_BENCH_SHUFFLE", "rotate"),
         dtype=os.environ.get("HARMONY_BENCH_DTYPE"),
+        budget_s=budget if budget > 0 else None,
+        progress_cb=keep_best,
     )
-    print(json.dumps(result))
+    keep_best(result)
+    with _LOCK:
+        if not _EMITTED.is_set():
+            _EMITTED.set()
+            print(json.dumps(_BEST))
     return 0
 
 
