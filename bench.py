@@ -73,7 +73,14 @@ def _watchdog(deadline: float):
 def main() -> int:
     size = int(os.environ.get("HARMONY_BENCH_CELLS", 500_000))
     d = int(os.environ.get("HARMONY_BENCH_DIMS", 50))
-    n_batches = int(os.environ.get("HARMONY_BENCH_BATCHES", 10))
+    # int ("10") = one covariate; comma-separated ("4,25") = one covariate
+    # per level count (the reference's two-variable / BASELINE designs)
+    raw_batches = os.environ.get("HARMONY_BENCH_BATCHES", "10")
+    n_batches = (
+        [int(v) for v in raw_batches.split(",")]
+        if "," in raw_batches
+        else int(raw_batches)
+    )
     nclust = int(os.environ.get("HARMONY_BENCH_K", 100))
     budget = float(os.environ.get("HARMONY_BENCH_BUDGET", 270))
 

@@ -18,24 +18,38 @@ import numpy as np
 def make_synthetic_cells(
     n_cells: int,
     d: int,
-    n_batches: int,
+    n_batches,
     n_types: int = 10,
     batch_shift: float = 1.5,
     seed: int = 0,
 ):
-    """Batch-confounded synthetic PCA-like embedding (float32)."""
+    """Batch-confounded synthetic PCA-like embedding (float32).
+
+    ``n_batches`` may be an int (one covariate) or a sequence of level
+    counts (one covariate per entry — the reference's two-variable /
+    BASELINE multi-covariate designs); returns (Z, batches) with
+    ``batches`` a (N,) array or a dict of them."""
     rng = np.random.default_rng(seed)
     types = rng.integers(0, n_types, size=n_cells)
-    batches = rng.integers(0, n_batches, size=n_cells)
     type_centers = rng.normal(size=(n_types, d)).astype(np.float32) * 3.0
-    batch_offsets = rng.normal(size=(n_batches, d)).astype(np.float32)
-    batch_offsets *= batch_shift
     Z = (
         type_centers[types]
-        + batch_offsets[batches]
         + rng.normal(size=(n_cells, d)).astype(np.float32) * 0.5
     )
-    return Z, batches
+    if np.ndim(n_batches) == 0:
+        n_batches = (int(n_batches),)
+        single = True
+    else:
+        single = False
+    cols = {}
+    for c, nb in enumerate(n_batches):
+        b = rng.integers(0, nb, size=n_cells)
+        offs = rng.normal(size=(nb, d)).astype(np.float32) * batch_shift
+        Z = Z + offs[b]
+        cols[f"v{c}"] = b
+    if single:
+        return Z, next(iter(cols.values()))
+    return Z, cols
 
 
 def run_bench(
@@ -104,10 +118,11 @@ def run_bench(
 
     note("generating synthetic cells")
     Z, batches = make_synthetic_cells(n_cells, d, n_batches, seed=seed)
-    meta = {"dataset": batches}
+    meta = batches if isinstance(batches, dict) else {"dataset": batches}
+    vars_use = list(meta)
 
     options = harmony_options()
-    design = build_design(meta, ["dataset"])
+    design = build_design(meta, vars_use)
     Zt = orient_embedding(Z, n_cells)
     n_pairs = int(os.environ.get("HARMONY_BENCH_PAIRS", 5))
     cfg = resolve_config(
@@ -207,7 +222,9 @@ def run_bench(
             "n_cells": n_cells,
             "d": d,
             "K": cfg.K,
-            "n_batches": n_batches,
+            "n_batches": (
+                n_batches if np.ndim(n_batches) == 0 else list(n_batches)
+            ),
             "seconds_per_iter": round(per_iter, 4),
             "first_iter_with_compile_s": round(compile_s, 2),
             "n_devices": n_devices,

@@ -129,7 +129,6 @@ def _virtual_gate(cfg: HarmonyConfig, tiled, mesh) -> bool:
         and cfg.estep_impl == "pallas"
         and cfg.rotate_stats_carry
         and cfg.max_iter_cluster <= cfg.window_size + 2
-        and cfg.n_covariates == 1
         and cfg.estep_sub_tile % tiled.tile == 0
     )
 
@@ -155,10 +154,11 @@ def cluster(
     (parity hook); otherwise they are drawn from the state PRNG key.
 
     With ``return_moments=True`` (and a batch-tiled layout + the static
-    round count + a single covariate on the unsharded stats-carry path),
-    the final round fuses the M-step's joint-batch moment accumulation and
-    the return value is ``(state, M | None)`` — harmony_round hands M to
-    the correction so the separate moments pass never runs.
+    round count on the stats-carry path — any covariate count: the tiles
+    are joint-batch-pure), the final round fuses the M-step's joint-batch
+    moment accumulation and the return value is ``(state, M | None)`` —
+    harmony_round hands M to the correction so the separate moments pass
+    never runs.
     """
     use_rotate = cfg.shuffle_mode == "rotate" and perms is None
     use_pallas_rotate = use_rotate and cfg.estep_impl == "pallas"
@@ -204,7 +204,7 @@ def cluster(
     if (
         use_stats_carry
         and tiled is not None
-        and cfg.n_covariates == 1
+        and cfg.n_covariates <= 8
         and cfg.estep_sub_tile % tiled.tile == 0
     ):
         import numpy as np
@@ -214,15 +214,18 @@ def cluster(
         T_e = cfg.estep_sub_tile
         rsub = T_e // tiled.tile
         NT_runs = (-(-cfg.Np // T_e) * T_e) // tiled.tile
-        rb = np.full(NT_runs, -1, np.int32)
-        rb[: len(tiled.tile_joint)] = tiled.joint_codes[0][
-            tiled.tile_joint
-        ]
         if rsub <= 128:
-            # (NT, 8, 128) slabs: one grid tile's run codes in row 0,
-            # lane-padded (Mosaic (8, 128) block granularity)
+            # (NT, 8, 128) slabs: one grid tile's run codes, covariate c's
+            # GLOBAL batch rows on sublane c, lane-padded (Mosaic (8, 128)
+            # block granularity)
             rows = np.full((NT_runs // rsub, 8, 128), -1, np.int32)
-            rows[:, 0, :rsub] = rb.reshape(-1, rsub)
+            for c in range(cfg.n_covariates):
+                rbc = np.full(NT_runs, -1, np.int32)
+                rbc[: len(tiled.tile_joint)] = (
+                    tiled.joint_codes[c][tiled.tile_joint]
+                    + cfg.covariate_offsets[c]
+                )
+                rows[:, c, :rsub] = rbc.reshape(-1, rsub)
             runs_spec = RunsSpec(
                 run_batch=jnp.asarray(rows), tile=int(tiled.tile)
             )
@@ -294,7 +297,6 @@ def cluster(
         if (
             return_moments
             and tiled is not None
-            and cfg.n_covariates == 1
             and cfg.estep_sub_tile % tiled.tile == 0
         ):
             import numpy as np

@@ -122,6 +122,26 @@ def _build_ohT(codes_ref, offsets, B: int, T: int):
 _PC_CHUNK = 1024  # column chunk for large-B temporaries (VMEM stack budget)
 
 
+def _run_mapT(runb_ref, ncov: int, rsub: int, B: int):
+    """(B, rsub) multi-hot run map + joint-purity flag.
+
+    ``runb_ref`` is a RunsSpec slab: sublane c holds the GLOBAL batch row
+    of covariate c for each of the grid tile's ``rsub`` runs (sentinel -1
+    on mixed/pad runs). The multi-hot column of a run selects all of its
+    ncov batch rows at once, so one (K, B) x (B, rsub) product yields both
+    the additive multi-covariate penalty gather (the reference's
+    pen * Phi product sums per-covariate penalties, src/harmony.cpp:322)
+    and the run-sum tile-stat scatter."""
+    rb = runb_ref[0, 0:ncov, 0:rsub]  # (ncov, rsub)
+    pure = jnp.min(rb) >= 0
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, rsub), 0)
+    m = None
+    for c in range(ncov):
+        mc = (rb[c : c + 1, :] == iota).astype(jnp.float32)
+        m = mc if m is None else m + mc
+    return m, pure
+
+
 def _pc_chunks(pen, codes_ref, offsets, B: int, T: int):
     """Yield (slice, pc_chunk) covering the tile: pc = pen x one-hot,
     built ``_PC_CHUNK`` columns at a time so the (B, T) one-hot and (K, T)
@@ -484,13 +504,15 @@ class VirtualR(NamedTuple):
 
 
 class RunsSpec(NamedTuple):
-    """Batch-pure run structure of the layout (single covariate): the
-    batch code of every ``tile``-wide run, sentinel -1 on mixed/pad runs.
-    Enables the run-sum form of the per-tile stat contraction. Rows are
-    one grid tile's runs padded to 128 lanes (Mosaic block constraint);
+    """Joint-batch-pure run structure of the layout: for every
+    ``tile``-wide run, the GLOBAL batch row of each covariate (sublane c
+    holds covariate c's row; sentinel -1 on mixed/pad runs). Enables the
+    run-sum form of the per-tile stat contraction and the run-broadcast
+    penalty gather for any covariate count <= 8 sublanes. Rows are one
+    grid tile's runs padded to (8, 128) (Mosaic block constraint);
     requires estep_sub_tile // tile <= 128."""
 
-    run_batch: jnp.ndarray  # (NT, 8, 128) int32; codes in [:, 0, :rsub]
+    run_batch: jnp.ndarray  # (NT, 8, 128) int32; codes in [:, c, :rsub]
     tile: int  # run width (the layout tile; divides estep_sub_tile)
 
 
@@ -595,7 +617,7 @@ def _round_kernel_v2(
     rsub: int = 0,  # batch-pure runs per grid tile (run-sum tile stats)
 ):
     it = iter(rest)
-    runb_ref = next(it) if rsub else None  # (1, rsub) batch code per run
+    runb_ref = next(it) if rsub else None  # (1, 8, 128) run codes slab
     Zo_ref = next(it) if msub else None
     R_out_ref, tO_out_ref, E_out_ref, O_out_ref = (
         next(it), next(it), next(it), next(it),
@@ -666,16 +688,14 @@ def _round_kernel_v2(
         # product — and lane-broadcast each column over its run. Mixed/pad
         # runs (sentinel codes) fall back to the exact one-hot contraction
         # per tile. Both forms produce bit-identical pc (see _assign_tile).
-        rb_pc = runb_ref[0, 0:1, 0:rsub]  # (1, rsub)
-        pure_pc = jnp.min(rb_pc) >= 0
+        runmapT_pc, pure_pc = _run_mapT(runb_ref, len(offsets), rsub, B)
 
         @pl.when(pure_pc)
         def _():
-            runmapT = (
-                rb_pc == jax.lax.broadcasted_iota(jnp.int32, (B, rsub), 0)
-            ).astype(jnp.float32)  # (B, rsub)
+            # multi-hot columns sum each run's ncov penalty rows — the
+            # additive multi-covariate penalty (src/harmony.cpp:322)
             pen_run = jnp.dot(
-                pen_s[:], runmapT, preferred_element_type=jnp.float32
+                pen_s[:], runmapT_pc, preferred_element_type=jnp.float32
             )  # (K, rsub)
             Tr = T_pc // rsub
             K_pc = pen_run.shape[0]
@@ -707,8 +727,7 @@ def _round_kernel_v2(
         # over this form (tools/exp_round_anatomy.py tO_runsum). Tiles
         # containing mixed/pad runs (sentinel batch codes) fall back to
         # the exact one-hot contraction.
-        rbrow = runb_ref[0, 0:1, 0:rsub]  # (1, rsub); -1 on mixed/pad runs
-        is_pure = jnp.min(rbrow) >= 0
+        runmapT, is_pure = _run_mapT(runb_ref, len(offsets), rsub, B)
 
         @pl.when(is_pure)
         def _():
@@ -723,10 +742,6 @@ def _round_kernel_v2(
                 ],
                 axis=1,
             )  # (K, rsub)
-            runmapT = (
-                rbrow
-                == jax.lax.broadcasted_iota(jnp.int32, (B, rsub), 0)
-            ).astype(jnp.float32)  # (B, rsub)
             tO_s[:] = jax.lax.dot_general(
                 rs, runmapT, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -1288,8 +1303,7 @@ def _reassign_kernel(
 
     if rsub:
         # run-sum tile stats on batch-pure runs (see _round_kernel_v2)
-        rbrow = runb_ref[0, 0:1, 0:rsub]  # (1, rsub)
-        is_pure = jnp.min(rbrow) >= 0
+        runmapT, is_pure = _run_mapT(runb_ref, ncov, rsub, B)
 
         @pl.when(is_pure)
         def _():
@@ -1304,10 +1318,6 @@ def _reassign_kernel(
                 ],
                 axis=1,
             )
-            runmapT = (
-                rbrow
-                == jax.lax.broadcasted_iota(jnp.int32, (B, rsub), 0)
-            ).astype(jnp.float32)
             tO_s[:] = jax.lax.dot_general(
                 rs, runmapT, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,

@@ -127,11 +127,20 @@ def moe_correct_ridge(
         r_tot = jnp.sum(O_eff, axis=1)
         rhs0 = jnp.sum(rhs_batches, axis=1)
         cross_blocks, ctx, R_eff = {}, None, None
-    elif cfg.n_covariates == 1:
-        # Same single-covariate argument on the XLA path: contract raw R
-        # and keep-mask the moments. This skips the (K, N) cell-mask
-        # gather AND the lax.cond around it — whose identity branch still
-        # costs a full copy of R per call.
+    elif cfg.n_covariates == 1 or tiled is not None:
+        # Contract raw R and keep-mask the moments — no (K, N) cell-mask
+        # gather (nor the lax.cond around it, whose identity branch still
+        # costs a full copy of R per call). Exactness:
+        #
+        # * single covariate: a cell is dropped iff its (only) batch is,
+        #   so keep-masking the per-batch moments IS the cell mask;
+        # * multiple covariates (batch-tiled layouts): a cell is kept iff
+        #   ANY of its batches is kept (src/harmony.cpp:389-402), and all
+        #   cells of a kept batch are kept — so kept batches' blocks equal
+        #   their raw-R values and dropped batches zero out, exactly as
+        #   keep-masking does. Only the INTERCEPT moments see the union
+        #   cell mask, and the mask is constant within a joint batch
+        #   level, so they reduce from the per-joint moment table below.
         #
         # Virtual R: the state's R is stale by contract; the moments came
         # fused from the E-step's final round, and the trailing mixed
@@ -158,9 +167,48 @@ def moe_correct_ridge(
             )
         O_eff = O_all * keepf
         rhs_batches = rhs_all * keepf[:, :, None]
-        # intercept moments over kept cells = sum of keep-masked blocks
-        r_tot = jnp.sum(O_eff, axis=1)
-        rhs0 = jnp.sum(rhs_batches, axis=1)
+        if cfg.n_covariates == 1:
+            # intercept moments over kept cells = sum of keep-masked blocks
+            r_tot = jnp.sum(O_eff, axis=1)
+            rhs0 = jnp.sum(rhs_batches, axis=1)
+        else:
+            # union cell mask at joint-level granularity: joint level j is
+            # kept for cluster k iff any covariate's batch at j is kept
+            seg_tbl = ctx[2]  # (n_joint, K, d+1) raw per-joint moments
+            mask_j = None
+            for c, off in enumerate(offsets):
+                kc = jnp.take(
+                    keep[:, off : off + cfg.B_vec[c]],
+                    jnp.asarray(tiled.joint_codes[c]), axis=1,
+                )  # (K, n_joint)
+                mask_j = kc if mask_j is None else (mask_j | kc)
+            maskf_j = mask_j.astype(f32)
+            r_tot = jnp.einsum(
+                "jk,kj->k", seg_tbl[:, :, -1], maskf_j,
+                preferred_element_type=f32,
+            )
+            rhs0 = jnp.einsum(
+                "jkd,kj->kd", seg_tbl[:, :, :-1], maskf_j,
+                preferred_element_type=f32,
+            )
+            n_pure = tiled.n_pure
+            if cfg.Np - n_pure:
+                # trailing mixed region: per-cell union mask on the raw
+                # (or virtual-recomputed) tail assignments
+                R_t_raw = ctx[0]
+                mask_t = None
+                for c, off in enumerate(offsets):
+                    kc = jnp.take(
+                        keep[:, off : off + cfg.B_vec[c]],
+                        codes[c][n_pure:], axis=1,
+                    )
+                    mask_t = kc if mask_t is None else (mask_t | kc)
+                R_tm = R_t_raw * mask_t.astype(f32)
+                r_tot = r_tot + jnp.sum(R_tm, axis=1)
+                rhs0 = rhs0 + jnp.einsum(
+                    "kn,dn->kd", R_tm, Zf[:, n_pure:],
+                    preferred_element_type=f32,
+                )
     else:
         # Cell mask: kept iff ANY of the cell's batches is kept (union over
         # covariates of the kept batches' cell sets, src/harmony.cpp:389-402).
@@ -435,7 +483,9 @@ def _moments_tiled(cfg, R_eff, Zf, codes, tiled, precomputed=None,
                     R_t, ohj, preferred_element_type=f32
                 ).reshape(K, b1, b2)
             cross_blocks[(c1, c2)] = cross
-    return O_eff, rhs_batches, cross_blocks, (R_t, tail_oh)
+    # ctx also carries the per-joint table: the multi-covariate intercept
+    # moments reduce from it under the union cell mask (see caller)
+    return O_eff, rhs_batches, cross_blocks, (R_t, tail_oh, seg)
 
 
 def _correction_tiled(cfg, W, R_eff, Zf, ctx, tiled, mesh=None):
@@ -484,7 +534,7 @@ def _correction_tiled(cfg, W, R_eff, Zf, ctx, tiled, mesh=None):
 
     tail = Np - tiled.n_pure
     if tail:
-        R_t, tail_oh = ctx
+        R_t, tail_oh = ctx[0], ctx[1]
         corr_t = None
         for c, oh in enumerate(tail_oh):
             o = cfg.covariate_offsets[c]
@@ -500,18 +550,26 @@ def _correction_tiled(cfg, W, R_eff, Zf, ctx, tiled, mesh=None):
 def _virtual_tail_r(cfg, virt, n_pure):
     """(K, tail) assignments of the trailing mixed/pad cells, recomputed
     from the final round's penalty table with the same op sequence as the
-    kernels' _assign_tile (single covariate; XLA on the small tail)."""
+    kernels' _assign_tile (XLA on the small tail). The penalty gather sums
+    per-covariate penalty rows in covariate order — the select chain's
+    order, so one- and two-covariate runs reproduce the kernel bits
+    exactly (a two-term sum is order-free); >=3 covariates can differ in
+    the last bit from the large-B one-hot contraction's reduction tree."""
     f32 = jnp.float32
     Np = cfg.Np
     T = cfg.estep_sub_tile
     tail = Np - n_pure
     Zn_t = virt.Zn_pad[:, n_pure:Np].astype(f32)  # (d, tail)
-    code = virt.codes_pad[0, n_pure:Np]  # sentinels (<0) on pads
     tiles = (n_pure + jnp.arange(tail)) // T
     blk = virt.blkmap[tiles]  # (tail,)
-    valid = (code >= 0).astype(f32)
-    code_c = jnp.clip(code, 0, cfg.B - 1)
-    pc = virt.pen[blk, :, code_c].T * valid[None, :]  # (K, tail)
+    valid = (virt.codes_pad[0, n_pure:Np] >= 0).astype(f32)
+    pc = None
+    for c, off in enumerate(cfg.covariate_offsets):
+        code = virt.codes_pad[c, n_pure:Np]  # sentinels (<0) on pads
+        code_c = jnp.clip(code + off, 0, cfg.B - 1)
+        pcc = virt.pen[blk, :, code_c].T  # (K, tail)
+        pc = pcc if pc is None else pc + pcc
+    pc = pc * valid[None, :]  # (K, tail)
     g = jnp.dot(
         virt.Y.T.astype(f32), Zn_t, preferred_element_type=f32
     )  # (K, tail)
@@ -542,13 +600,18 @@ def _correction_virtual(cfg, W, ctx, tiled, virt, mesh=None):
     interp = _jax.default_backend() == "cpu"
     n_joint = tiled.joint_codes.shape[1]
 
-    # per-joint betas (single covariate)
-    o = cfg.covariate_offsets[0]
-    W_joint = jnp.take(
-        W[:, 1 + o : 1 + o + cfg.B_vec[0], :],
-        jnp.asarray(tiled.joint_codes[0]),
-        axis=1,
-    )  # (K, n_joint, d)
+    # per-joint betas: sum of each covariate's beta block at that joint's
+    # level (a cell's correction sums over covariates,
+    # src/harmony.cpp:613-616 via the stacked design)
+    W_joint = None
+    for c in range(cfg.n_covariates):
+        o = cfg.covariate_offsets[c]
+        Wc = jnp.take(
+            W[:, 1 + o : 1 + o + cfg.B_vec[c], :],
+            jnp.asarray(tiled.joint_codes[c]),
+            axis=1,
+        )  # (K, n_joint, d)
+        W_joint = Wc if W_joint is None else W_joint + Wc
     W_joint = jnp.transpose(W_joint, (1, 2, 0)).astype(f32)
     W_joint = jnp.concatenate(
         [W_joint, jnp.zeros((1,) + W_joint.shape[1:], f32)], axis=0
@@ -578,7 +641,7 @@ def _correction_virtual(cfg, W, ctx, tiled, virt, mesh=None):
 
     tail = Np - tiled.n_pure
     if tail:
-        R_t, tail_oh = ctx
+        R_t, tail_oh = ctx[0], ctx[1]
         corr_t = None
         for c, oh in enumerate(tail_oh):
             oc = cfg.covariate_offsets[c]

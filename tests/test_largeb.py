@@ -129,3 +129,42 @@ def test_virtual_run_rounds_bfloat16():
     assert np.isfinite(obj).all()
     R = np.asarray(state.R, dtype=np.float64)
     np.testing.assert_allclose(R[:, : cfg.N].sum(0), 1.0, atol=5e-3)
+
+
+def test_pc_chunk_multi_chunk_matches_full_width(monkeypatch):
+    """The chunked large-B temporaries (_pc_chunks/_tO_chunked) never ran
+    with nch > 1 in the CPU suite (ADVICE r2: _PC_CHUNK=1024 and every
+    test uses T <= 512). Patch _PC_CHUNK down so the multi-chunk slicing
+    actually executes and pin the contract: pc chunking preserves each
+    column's B-contraction (R equal to ~1 ulp — exact on the MXU, where
+    the per-column reduction is shape-independent; XLA CPU dots may
+    re-block by shape), tO chunking only reorders f32 partial sums
+    (close E/O and objectives)."""
+    from harmony_tpu.engine import cluster as cluster_fn
+    from harmony_tpu.ops import pallas_rotate as pr
+
+    cfg, state0, tiled = _problem(33, 8704, T=512)
+    engine = make_engine(cfg, codes=state0.codes)
+    state0 = engine.init_cluster(state0)
+
+    outs = {}
+    for chunk in (1024, 128):  # 1024 -> nch=1 (full width); 128 -> nch=4
+        monkeypatch.setattr(pr, "_PC_CHUNK", chunk)
+        outs[chunk] = jax.jit(
+            lambda s: cluster_fn(cfg, s, tiled=tiled)
+        )(state0)
+
+    np.testing.assert_allclose(
+        np.asarray(outs[128].R), np.asarray(outs[1024].R),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[128].O), np.asarray(outs[1024].O), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[128].E), np.asarray(outs[1024].E), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[128].objective_kmeans),
+        np.asarray(outs[1024].objective_kmeans), rtol=1e-5,
+    )
