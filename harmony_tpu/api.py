@@ -33,6 +33,52 @@ from .preprocess import (
 )
 from .state import HarmonyState, init_state
 
+# Below this many cells the reference-exact 'permute' schedule is cheap
+# enough that auto mode keeps it (bit-comparable trajectories); above it
+# the zero-gather 'rotate' schedule is ~35x faster and statistically
+# equivalent (PERFORMANCE.md), which is what a production-scale run wants.
+AUTO_ROTATE_MIN_CELLS = 100_000
+
+
+def _resolve_shuffle_mode(
+    shuffle_mode: str, n_cells: int, parity_hooks: bool, verbose: bool
+) -> str:
+    """Resolve shuffle_mode='auto' (VERDICT r2 #7 steering).
+
+    'permute' when the run is small or injects parity hooks (init_Y) —
+    those runs want reference-exact trajectories; 'rotate' otherwise.
+    Explicit modes pass through untouched.
+    """
+    if shuffle_mode != "auto":
+        if (
+            shuffle_mode == "permute"
+            and n_cells >= AUTO_ROTATE_MIN_CELLS
+            and not parity_hooks
+            and verbose
+        ):
+            import logging
+
+            logging.getLogger("harmony_tpu").info(
+                "shuffle_mode='permute' at %d cells: the reference-exact "
+                "schedule gathers the full (K, N) state per round; "
+                "shuffle_mode='rotate' (or 'auto') is ~35x faster at this "
+                "scale and statistically equivalent (PERFORMANCE.md)",
+                n_cells,
+            )
+        return shuffle_mode
+    if parity_hooks or n_cells < AUTO_ROTATE_MIN_CELLS:
+        return "permute"
+    if verbose:
+        import logging
+
+        logging.getLogger("harmony_tpu").info(
+            "shuffle_mode='auto': using the zero-gather 'rotate' schedule "
+            "at %d cells (statistically equivalent; pass "
+            "shuffle_mode='permute' for reference-exact trajectories)",
+            n_cells,
+        )
+    return "rotate"
+
 
 @dataclasses.dataclass
 class HarmonyResult:
@@ -49,6 +95,14 @@ class HarmonyResult:
     design: DesignMatrix
     # inverse of the ingest shuffle (shuffle_mode='rotate'); None otherwise
     ingest_inv: Optional[np.ndarray] = None
+    # per-phase wall-clock accumulators of the run (runtime.PhaseTimers) —
+    # the analog of the reference's live timer scopes (src/timer.h:9-31,
+    # src/harmony.cpp:302-335); None when the run bypassed the driver
+    timers: Optional[object] = None
+
+    def phase_seconds(self) -> dict:
+        """{phase: accumulated seconds} for the run (empty if untimed)."""
+        return self.timers.as_dict() if self.timers is not None else {}
 
     # -- shapes ------------------------------------------------------------
     @property
@@ -203,7 +257,7 @@ def run_harmony(
     ridge_solver: str = "auto",
     init_Y: Optional[np.ndarray] = None,
     mesh=None,
-    shuffle_mode: str = "permute",
+    shuffle_mode: str = "auto",
     estep_impl: str = "auto",
     mstep_impl: str = "auto",
     abort=None,
@@ -223,10 +277,12 @@ def run_harmony(
     :func:`harmony_tpu.sharding.make_mesh`) or ``"auto"`` to shard cells
     data-parallel over all local devices.
 
-    ``shuffle_mode``: ``"permute"`` (default) reproduces the reference's
-    fresh random cell permutation per clustering round; ``"rotate"`` is the
-    statistically-equivalent zero-gather schedule for production-scale runs
-    (see PERFORMANCE.md).
+    ``shuffle_mode``: ``"permute"`` reproduces the reference's fresh
+    random cell permutation per clustering round (bit-comparable
+    trajectories); ``"rotate"`` is the statistically-equivalent
+    zero-gather schedule for production-scale runs (see PERFORMANCE.md);
+    ``"auto"`` (default) picks ``permute`` below 100k cells or when
+    parity hooks (``init_Y``) are supplied, ``rotate`` otherwise.
 
     ``abort`` (a :class:`harmony_tpu.runtime.AbortFlag`) enables
     cooperative interruption; ``checkpoint_path`` enables periodic
@@ -266,6 +322,14 @@ def run_harmony(
     Z = orient_embedding(data_mat, N, verbose=verbose)
     d = Z.shape[0]
 
+    if verbose:
+        from .driver import _ensure_verbose_handler
+
+        _ensure_verbose_handler()
+    shuffle_mode = _resolve_shuffle_mode(
+        shuffle_mode, N, init_Y is not None, verbose
+    )
+
     cfg = resolve_config(
         n_cells=N,
         d=d,
@@ -301,6 +365,7 @@ def run_harmony(
     # zero-gather O(K·N·d) path (sharded: per-shard tiles + one psum of
     # the joint moment table).
     ingest_inv = None
+    ckpt_meta = {"shuffle_mode": shuffle_mode, "seed": seed}
     if shuffle_mode == "rotate":
         from .ops.tiled import (
             build_batch_tiled_order, choose_tiled_tile, count_joint_levels,
@@ -320,6 +385,10 @@ def run_harmony(
             perm, _ = build_batch_tiled_order(design.codes, tiled_t, seed)
         else:
             perm = np.random.default_rng(seed).permutation(N)
+        # checkpoint provenance: the ingest order is deterministic in
+        # (seed, tile width), so a crash-recovery resume rebuilds it from
+        # the original inputs (cli._resume_run)
+        ckpt_meta["tiled_tile"] = int(tiled_t or 0)
         ingest_inv = np.argsort(perm)
         Z = Z[:, perm]
         design = dataclasses.replace(design, codes=design.codes[:, perm])
@@ -342,13 +411,18 @@ def run_harmony(
         if init_Y.shape != (cfg.d, cfg.K):
             raise ValueError(f"init_Y must be (d, K)={cfg.d, cfg.K}")
 
+    from .runtime import PhaseTimers
+
+    timers = PhaseTimers()
     state = _run(
         cfg, state, verbose=verbose, Y0=init_Y, mesh=mesh, abort=abort,
         checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+        checkpoint_meta=ckpt_meta, timers=timers,
     )
 
     result = HarmonyResult(
-        config=cfg, state=state, design=design, ingest_inv=ingest_inv
+        config=cfg, state=state, design=design, ingest_inv=ingest_inv,
+        timers=timers,
     )
     if plot_convergence:
         # the reference's plot_convergence hook (R/ui.R:285)

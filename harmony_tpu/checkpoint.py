@@ -56,13 +56,23 @@ def normalize_checkpoint_path(path: str) -> str:
 
 
 def save_checkpoint(
-    path: str, cfg: HarmonyConfig, state: HarmonyState, mode: str = "minimal"
+    path: str, cfg: HarmonyConfig, state: HarmonyState,
+    mode: str = "minimal", meta: Optional[dict] = None,
 ) -> None:
+    """``meta`` persists run provenance the arrays cannot express — the
+    ingest-shuffle recipe of rotate runs ({shuffle_mode, seed, tiled_tile});
+    it is deterministic in those values, so a resume can rebuild the
+    shuffled cell order from the original inputs (read it back with
+    :func:`read_checkpoint_meta`)."""
     if mode not in ("minimal", "full"):
         raise ValueError("mode must be 'minimal' or 'full'")
     path = normalize_checkpoint_path(path)
     fields = _MINIMAL_FIELDS + (_FULL_ONLY_FIELDS if mode == "full" else ())
     arrays = {f: np.asarray(getattr(state, f)) for f in fields}
+    if meta:
+        arrays["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8
+        )
     cfg_json = json.dumps(dataclasses.asdict(cfg))
     # Atomic update: a crash mid-write (the exact scenario checkpointing
     # protects against) must not truncate the previous good checkpoint.
@@ -80,6 +90,15 @@ def save_checkpoint(
     finally:
         if os.path.exists(tmp):
             os.remove(tmp)
+
+
+def read_checkpoint_meta(path: str) -> dict:
+    """The provenance dict stored by ``save_checkpoint(..., meta=...)``
+    (empty if none was stored)."""
+    with np.load(normalize_checkpoint_path(path), allow_pickle=False) as z:
+        if "__meta__" not in z:
+            return {}
+        return json.loads(bytes(z["__meta__"]).decode())
 
 
 def load_checkpoint(

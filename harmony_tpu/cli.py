@@ -40,15 +40,36 @@ def _resume_run(args, Z, meta) -> np.ndarray:
     """Continue a crashed run from ``--checkpoint`` (minimal checkpoints
     need the original embedding/design re-supplied; the CLI has both
     files at hand). Runs up to ``--max-iter`` further rounds with the
-    usual early stop."""
+    usual early stop.
+
+    Rotate-mode runs hold state in ingest-shuffled cell order; the
+    checkpoint's provenance meta ({seed, tiled_tile}) makes that order
+    deterministic, so the resume rebuilds it from the original inputs and
+    un-shuffles the final embedding."""
+    import dataclasses
+
     from .api import HarmonyResult
-    from .checkpoint import load_checkpoint
+    from .checkpoint import load_checkpoint, read_checkpoint_meta
     from .driver import harmonize
     from .engine import make_engine
     from .preprocess import build_design, orient_embedding
 
     design = build_design(meta, args.vars.split(","))
     Zd = orient_embedding(Z, design.n_cells, verbose=args.verbose)
+    ckpt_meta = read_checkpoint_meta(args.checkpoint)
+    ingest_inv = None
+    if ckpt_meta.get("shuffle_mode") == "rotate":
+        seed = int(ckpt_meta.get("seed", 0))
+        tile = int(ckpt_meta.get("tiled_tile", 0))
+        if tile:
+            from .ops.tiled import build_batch_tiled_order
+
+            perm, _ = build_batch_tiled_order(design.codes, tile, seed)
+        else:
+            perm = np.random.default_rng(seed).permutation(design.n_cells)
+        ingest_inv = np.argsort(perm)
+        Zd = Zd[:, perm]
+        design = dataclasses.replace(design, codes=design.codes[:, perm])
     cfg, state = load_checkpoint(
         args.checkpoint, Z=Zd, design=design, extra_rounds=args.max_iter
     )
@@ -74,23 +95,16 @@ def _resume_run(args, Z, meta) -> np.ndarray:
     engine = make_engine(cfg, codes=state.codes)
     state = harmonize(
         engine, state, max_iter=args.max_iter, verbose=args.verbose,
-        checkpoint_path=args.checkpoint,
+        checkpoint_path=args.checkpoint, checkpoint_meta=ckpt_meta,
     )
     res = HarmonyResult(config=cfg, state=state, design=design,
-                        ingest_inv=None)
+                        ingest_inv=ingest_inv)
     return res.embeddings
 
 
 def _cmd_run(args) -> int:
     from .api import run_harmony
     from .config import harmony_options
-
-    if args.checkpoint and args.shuffle_mode != "permute":
-        # rotate mode holds state in ingest-shuffled order; the CLI resume
-        # path cannot reconstruct that order from a minimal checkpoint
-        print("--checkpoint requires --shuffle-mode permute",
-              file=sys.stderr)
-        return 2
 
     Z = _load_matrix(args.embeddings)
     meta = _load_meta(args.meta)
@@ -157,8 +171,11 @@ def main(argv=None) -> int:
     pr.add_argument("--max-iter", type=int, default=10)
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument(
-        "--shuffle-mode", choices=["permute", "rotate"], default="permute",
-        help="'rotate' = fast zero-gather schedule for large runs",
+        "--shuffle-mode", choices=["auto", "permute", "rotate"],
+        default="auto",
+        help="'permute' = reference-exact schedule; 'rotate' = fast "
+        "zero-gather schedule for large runs; 'auto' (default) picks "
+        "permute below 100k cells, rotate above",
     )
     pr.add_argument(
         "--mesh", choices=["auto"], default=None,

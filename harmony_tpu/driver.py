@@ -48,6 +48,22 @@ def _check_finite(state: HarmonyState, where: str = "") -> None:
         raise DivergenceError(bad, obj[max(0, bad - 2): bad + 1].tolist())
 
 
+def _scope(timers, name: str):
+    """timers.scope(name), or a no-op when no PhaseTimers was supplied."""
+    if timers is None:
+        import contextlib
+
+        return contextlib.nullcontext()
+    return timers.scope(name)
+
+
+def _sync(state: HarmonyState) -> None:
+    """Host fetch of a tiny replicated array — the only reliable execution
+    barrier through a remote-dispatch tunnel (see CLAUDE.md), so timer
+    scopes around dispatches measure real work."""
+    np.asarray(state.O)
+
+
 def harmonize(
     engine: Engine,
     state: HarmonyState,
@@ -58,6 +74,8 @@ def harmonize(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 1,
     abort_poll_rounds: int = 1,
+    checkpoint_meta: Optional[dict] = None,
+    timers=None,
 ) -> HarmonyState:
     """Run up to ``max_iter`` rounds of (cluster, correct), with early stop.
 
@@ -74,6 +92,15 @@ def harmonize(
     ``checkpoint_every`` completed rounds; resume with
     ``load_checkpoint(path, Z, design)`` + ``harmonize`` (the algorithm is
     restart-friendly — correction recomputes from Z_orig, SURVEY.md §5).
+    ``checkpoint_meta`` persists run provenance (the rotate ingest-shuffle
+    recipe) alongside the arrays.
+
+    ``timers`` (a :class:`harmony_tpu.runtime.PhaseTimers`) accumulates
+    named wall-clock scopes per phase — the analog of the reference's ~20
+    live timer scopes (src/harmony.cpp:302-335, src/timer.h). Scopes time
+    host-side dispatch+sync walls: exact on the per-round host loop (each
+    round fetches the convergence flag), one aggregate scope on the
+    fused single-dispatch path.
     """
     cfg = engine.cfg
     if max_iter is None:
@@ -102,20 +129,24 @@ def harmonize(
         # flag polled between chunks (src/harmony.cpp:233-234 analog at
         # chunk granularity).
         if abort is None:
-            state = engine.run_rounds(state, jnp.int32(max_iter))
+            with _scope(timers, "run_rounds"):
+                state = engine.run_rounds(state, jnp.int32(max_iter))
+                _sync(state)
         else:
             done = 0
             while done < max_iter:
                 if abort.aborted():
                     raise KeyboardInterrupt("harmony run aborted by user")
                 k = min(max(abort_poll_rounds, 1), max_iter - done)
-                state = engine.run_rounds(state, jnp.int32(k))
+                with _scope(timers, "run_rounds"):
+                    state = engine.run_rounds(state, jnp.int32(k))
                 done += k
                 _check_finite(state)
                 if done < max_iter and bool(engine.harmony_converged(state)):
                     break
         # virtual-R runs rematerialise the user-facing R once per run
-        state = engine.materialize_r(state)
+        with _scope(timers, "materialize_r"):
+            state = engine.materialize_r(state)
         _check_finite(state)
         return state
 
@@ -124,11 +155,14 @@ def harmonize(
             raise KeyboardInterrupt("harmony run aborted by user")
         t0 = time.perf_counter()
         if perms is not None:
-            state = engine.cluster(state, perms=jnp.asarray(perms[it]))
-            state = engine.correct(state)
+            with _scope(timers, "cluster"):
+                state = engine.cluster(state, perms=jnp.asarray(perms[it]))
+            with _scope(timers, "correct"):
+                state = engine.correct(state)
         else:
             # one dispatch per round (see engine.harmony_round)
-            state = engine.round(state)
+            with _scope(timers, "round"):
+                state = engine.round(state)
         converged = bool(engine.harmony_converged(state))
         # failure detection before the checkpoint write: a diverged state
         # must never overwrite the last good checkpoint on disk
@@ -136,21 +170,28 @@ def harmonize(
         if checkpoint_path and (it + 1) % checkpoint_every == 0:
             from .checkpoint import save_checkpoint
 
-            save_checkpoint(
-                checkpoint_path, cfg, engine.materialize_r(state),
-                mode="minimal",
-            )
+            with _scope(timers, "checkpoint"):
+                save_checkpoint(
+                    checkpoint_path, cfg, engine.materialize_r(state),
+                    mode="minimal", meta=checkpoint_meta,
+                )
         if verbose:
+            # per-round progress with throughput — the RcppProgress analog
+            # (src/harmony.cpp:210, 348); the objective fetch above already
+            # synchronised with the device, so dt is a true round wall
             obj = float(state.objective_harmony[int(state.n_harmony) - 1])
+            dt = time.perf_counter() - t0
             logger.info(
-                "Harmony %d/%d  objective=%.6f  (%.3fs)",
-                it + 1, max_iter, obj, time.perf_counter() - t0,
+                "Harmony %d/%d  objective=%.6f  (%.3fs, %.2fM cells/s)",
+                it + 1, max_iter, obj, dt, cfg.N / dt / 1e6,
             )
         if converged:
             if verbose:
                 logger.info("Harmony converged after %d iterations", it + 1)
             break
-    return engine.materialize_r(state)
+    with _scope(timers, "materialize_r"):
+        state = engine.materialize_r(state)
+    return state
 
 
 def run(
@@ -163,14 +204,20 @@ def run(
     abort=None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 1,
+    checkpoint_meta: Optional[dict] = None,
+    timers=None,
 ) -> HarmonyState:
     """init_cluster + harmonize, returning the final state."""
-    engine = make_engine(cfg, codes=state.codes, mesh=mesh)
-    if Y0 is not None:
-        state = engine.init_cluster_from(state, jnp.asarray(Y0))
-    else:
-        state = engine.init_cluster(state)
+    with _scope(timers, "make_engine"):
+        engine = make_engine(cfg, codes=state.codes, mesh=mesh)
+    with _scope(timers, "init_cluster"):
+        if Y0 is not None:
+            state = engine.init_cluster_from(state, jnp.asarray(Y0))
+        else:
+            state = engine.init_cluster(state)
+        _sync(state)
     return harmonize(
         engine, state, verbose=verbose, perms=perms, abort=abort,
         checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+        checkpoint_meta=checkpoint_meta, timers=timers,
     )

@@ -123,11 +123,32 @@ def test_cli_resume_warns_on_ignored_flags(io_files, tmp_path, capsys):
     assert "--nclust" in err and "ignor" in err
 
 
-def test_cli_checkpoint_rejects_rotate(io_files, tmp_path, capsys):
+def test_cli_rotate_checkpoint_resume_matches_uninterrupted(
+    io_files, tmp_path, capsys
+):
+    """Rotate-mode crash recovery (VERDICT r2 #6): the checkpoint stores
+    the ingest-shuffle provenance (seed + tile), so a resume rebuilds the
+    shuffled cell order from the original inputs. An interrupted-then-
+    resumed rotate run must reproduce the uninterrupted run's embedding."""
     emb, meta, out = io_files
-    rc = main([
+    base = [
         "run", "--embeddings", emb, "--meta", meta, "--vars", "dataset",
-        "--out", out, "--checkpoint", str(tmp_path / "c.npz"),
+        "--out", out, "--nclust", "4", "--seed", "3",
         "--shuffle-mode", "rotate",
-    ])
-    assert rc == 2
+    ]
+    # uninterrupted 2-round run (no checkpoint)
+    rc = main(base + ["--max-iter", "2"])
+    assert rc == 0
+    ref = np.load(out)
+
+    # crash after 1 round, then resume for 1 more
+    ckpt = str(tmp_path / "rot.npz")
+    rc = main(base + ["--max-iter", "1", "--checkpoint", ckpt])
+    assert rc == 0
+    rc = main(base + ["--max-iter", "1", "--checkpoint", ckpt])
+    assert rc == 0
+    assert "resuming" in capsys.readouterr().out
+    resumed = np.load(out)
+    # ordering check is implicit: a wrong ingest permutation scrambles
+    # cells and the comparison fails loudly
+    np.testing.assert_allclose(resumed, ref, atol=5e-4)
