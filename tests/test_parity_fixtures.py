@@ -22,7 +22,14 @@ import jax
 import jax.numpy as jnp
 
 _FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures", "parity")
-_NAMES = ["cell_lines_small_default", "cell_lines_small_twocov"]
+_NAMES = [
+    "cell_lines_small_default",
+    "cell_lines_small_twocov",
+    # BASELINE configs 3-4 (VERDICT r2 #4): the pbmc_stim integration
+    # pipeline (datasets.pbmc_dataset) and a three-covariate design
+    "pbmc_stim_default",
+    "synthetic_threecov",
+]
 
 
 @pytest.mark.parametrize("name", _NAMES)

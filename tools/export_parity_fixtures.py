@@ -40,24 +40,60 @@ from harmony_tpu.reference_numpy import OracleHarmony  # noqa: E402
 from harmony_tpu.state import init_state  # noqa: E402
 
 
+def _threecov_dataset():
+    """Synthetic BASELINE config-4 analog: c('dataset','donor','batch_id')
+    — exercises the multi-level Phi / cross-covariate ridge blocks."""
+    rng = np.random.default_rng(7)
+    n, d = 400, 12
+    types = rng.integers(0, 4, n)
+    dataset = rng.integers(0, 2, n)
+    donor = rng.integers(0, 3, n)
+    batch_id = rng.integers(0, 4, n)
+    Z = (
+        (rng.normal(size=(4, d)) * 3.0)[types]
+        + (rng.normal(size=(2, d)) * 1.0)[dataset]
+        + (rng.normal(size=(3, d)) * 0.8)[donor]
+        + (rng.normal(size=(4, d)) * 0.6)[batch_id]
+        + rng.normal(size=(n, d)) * 0.5
+    ) / 40.0
+    meta = {
+        "dataset": np.array([f"d{x}" for x in dataset]),
+        "donor": np.array([f"o{x}" for x in donor]),
+        "batch_id": np.array([f"b{x}" for x in batch_id]),
+    }
+    return Z, meta
+
+
 def export(outdir: str):
     import os
 
+    from harmony_tpu.datasets import pbmc_dataset
+
     os.makedirs(outdir, exist_ok=True)
     ds = cell_lines_small()
+    pb = pbmc_dataset()
+    Z3, meta3 = _threecov_dataset()
     configs = [
-        ("cell_lines_small_default", ["dataset"], dict(nclust=50, theta=[1.0])),
+        ("cell_lines_small_default", ds.meta_data, ds.scaled_pcs,
+         ["dataset"], dict(nclust=50, theta=[1.0])),
         (
-            "cell_lines_small_twocov",
+            "cell_lines_small_twocov", ds.meta_data, ds.scaled_pcs,
             ["dataset", "cell_type"],
             dict(nclust=20, theta=[1.0, 1.0]),
         ),
+        # BASELINE configs 3-4: the pbmc_stim integration pipeline and a
+        # three-covariate design (VERDICT r2 #4)
+        ("pbmc_stim_default", pb.meta_data, pb.scaled_pcs,
+         ["stim"], dict(nclust=30, theta=[2.0])),
+        ("synthetic_threecov", meta3, Z3,
+         ["dataset", "donor", "batch_id"],
+         dict(nclust=10, theta=[2.0, 2.0, 2.0])),
     ]
-    for name, vars_use, kw in configs:
+    for name, meta_data, pcs, vars_use, kw in configs:
         options = harmony_options(max_iter_cluster=10)
-        design = build_design(ds.meta_data, vars_use)
+        design = build_design(meta_data, vars_use)
         N = design.n_cells
-        Zt = orient_embedding(ds.scaled_pcs, N)
+        Zt = orient_embedding(pcs, N)
         cfg = resolve_config(
             n_cells=N, d=Zt.shape[0], design=design, nclust=kw["nclust"],
             max_iter=5, early_stop=True, options=options, verbose=False,
