@@ -307,7 +307,11 @@ def run_harmony(
             data_mat, group_by, theta=theta, sigma=sigma, lamb=lamb,
             nclust=nclust, max_iter=max_iter, early_stop=early_stop,
             verbose=verbose, seed=seed, options=options, dtype=dtype,
-            ridge_solver=ridge_solver, mesh=mesh, **legacy,
+            ridge_solver=ridge_solver, mesh=mesh, init_Y=init_Y,
+            shuffle_mode=shuffle_mode, estep_impl=estep_impl,
+            mstep_impl=mstep_impl, abort=abort,
+            checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every, **legacy,
         )
 
     check_legacy_args(**legacy)

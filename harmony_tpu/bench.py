@@ -274,6 +274,13 @@ def run_bench(
     sync(state)
     note("settle dispatch done; starting timed pairs")
 
+    if over_budget():
+        # Compile already blew the budget: one pair always still runs
+        # (a degraded real measurement beats the warm-up lower bound),
+        # but shrink it so it lands within the watchdog's grace.
+        max_iter = min(max_iter, 5)
+        note(f"over budget before pairs; timed rounds -> {max_iter}")
+
     # Two-point measurement: time (dispatch + 2 rounds + sync) and
     # (dispatch + 2 + max_iter rounds + sync); the difference is pure
     # round compute. Through a remote-dispatch tunnel the host fetch in

@@ -83,6 +83,8 @@ def _resume_run(args, Z, meta) -> np.ndarray:
             ("--lamb", args.lamb, None),
             ("--seed", args.seed, 0),
             ("--mesh", args.mesh, None),
+            # the mode actually used comes from the checkpoint provenance
+            ("--shuffle-mode", args.shuffle_mode, "auto"),
         ) if val != default
     ]
     if ignored:

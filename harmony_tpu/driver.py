@@ -140,6 +140,8 @@ def harmonize(
                 k = min(max(abort_poll_rounds, 1), max_iter - done)
                 with _scope(timers, "run_rounds"):
                     state = engine.run_rounds(state, jnp.int32(k))
+                    if timers is not None:
+                        _sync(state)
                 done += k
                 _check_finite(state)
                 if done < max_iter and bool(engine.harmony_converged(state)):
@@ -147,6 +149,8 @@ def harmonize(
         # virtual-R runs rematerialise the user-facing R once per run
         with _scope(timers, "materialize_r"):
             state = engine.materialize_r(state)
+            if timers is not None:
+                _sync(state)
         _check_finite(state)
         return state
 
@@ -154,16 +158,30 @@ def harmonize(
         if abort is not None and abort.aborted():
             raise KeyboardInterrupt("harmony run aborted by user")
         t0 = time.perf_counter()
+        # dispatches are async: each timed scope ends with a host fetch of
+        # a tiny replicated array so the recorded wall is real work, not
+        # dispatch time (the convergence fetch below would otherwise
+        # absorb it all)
         if perms is not None:
             with _scope(timers, "cluster"):
                 state = engine.cluster(state, perms=jnp.asarray(perms[it]))
+                if timers is not None:
+                    _sync(state)
             with _scope(timers, "correct"):
                 state = engine.correct(state)
+                if timers is not None:
+                    _sync(state)
         else:
             # one dispatch per round (see engine.harmony_round)
             with _scope(timers, "round"):
                 state = engine.round(state)
+                if timers is not None:
+                    _sync(state)
         converged = bool(engine.harmony_converged(state))
+        # round wall stops here (the convergence fetch synchronised);
+        # checkpoint I/O below is deliberately excluded from the
+        # throughput figure
+        dt = time.perf_counter() - t0
         # failure detection before the checkpoint write: a diverged state
         # must never overwrite the last good checkpoint on disk
         _check_finite(state)
@@ -177,10 +195,10 @@ def harmonize(
                 )
         if verbose:
             # per-round progress with throughput — the RcppProgress analog
-            # (src/harmony.cpp:210, 348); the objective fetch above already
-            # synchronised with the device, so dt is a true round wall
+            # (src/harmony.cpp:210, 348); the convergence fetch above
+            # synchronised with the device before dt was taken, so dt is a
+            # true round wall (excluding any checkpoint write)
             obj = float(state.objective_harmony[int(state.n_harmony) - 1])
-            dt = time.perf_counter() - t0
             logger.info(
                 "Harmony %d/%d  objective=%.6f  (%.3fs, %.2fM cells/s)",
                 it + 1, max_iter, obj, dt, cfg.N / dt / 1e6,
@@ -191,6 +209,8 @@ def harmonize(
             break
     with _scope(timers, "materialize_r"):
         state = engine.materialize_r(state)
+        if timers is not None:
+            _sync(state)
     return state
 
 

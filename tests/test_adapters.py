@@ -140,3 +140,32 @@ def test_dataframe_adapter():
     out = np.asarray(out)
     assert out.shape == (120, 6)
     assert np.all(np.isfinite(out))
+
+
+def test_dispatch_forwards_engine_knobs(adata, monkeypatch):
+    """The generic dispatch (api.run_harmony -> run_harmony_anndata) must
+    forward shuffle_mode/estep_impl/init_Y etc. — with the 'auto' default,
+    a dropped explicit shuffle_mode='permute' would silently become
+    'rotate' at scale (code-review r3 finding)."""
+    from harmony_tpu import run_harmony
+    import harmony_tpu.api as api_mod
+
+    seen = {}
+    orig = api_mod.run_harmony
+
+    def spy(data_mat, meta_data, vars_use=None, **kw):
+        # the inner (non-AnnData) call carries the forwarded knobs
+        if not hasattr(data_mat, "obsm"):
+            seen.update(kw)
+        return orig(data_mat, meta_data, vars_use, **kw)
+
+    monkeypatch.setattr(api_mod, "run_harmony", spy)
+    import harmony_tpu.adapters as ad_mod
+
+    monkeypatch.setattr(ad_mod, "run_harmony", spy)
+    spy(
+        adata, ["dataset"], nclust=5, max_iter=1, seed=0,
+        shuffle_mode="permute", estep_impl="xla",
+    )
+    assert seen.get("shuffle_mode") == "permute"
+    assert seen.get("estep_impl") == "xla"
