@@ -139,6 +139,10 @@ def run_bench(
         "estep_impl": estep_impl or "auto",
         "mstep_impl": os.environ.get("HARMONY_BENCH_MSTEP_IMPL", "auto"),
     }
+    if os.environ.get("HARMONY_BENCH_VARIANT"):
+        overrides["estep_variant"] = os.environ["HARMONY_BENCH_VARIANT"]
+    if os.environ.get("HARMONY_BENCH_SUBTILE"):
+        overrides["estep_sub_tile"] = int(os.environ["HARMONY_BENCH_SUBTILE"])
     if mstep_mode:
         overrides["mstep_mode"] = mstep_mode
     if shuffle_mode:
