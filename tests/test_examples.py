@@ -39,3 +39,9 @@ def test_quickstart_example_runs():
 def test_pbmc_example_runs():
     stdout = _run_example("pbmc_integration.py")
     assert stdout.strip()
+
+
+@pytest.mark.slow
+def test_large_scale_example_runs():
+    stdout = _run_example("large_scale.py")
+    assert "integrated" in stdout and "phase walls" in stdout
