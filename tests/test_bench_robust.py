@@ -112,3 +112,17 @@ def test_watchdog_emits_past_deadline():
     out = _run_py(code, timeout=60)
     assert out.returncode == 0
     assert json.loads(out.stdout.strip()) == {"metric": "m", "value": 7}
+
+
+def test_make_synthetic_cells_multi_covariate():
+    """Comma-separated HARMONY_BENCH_BATCHES produces one covariate per
+    level count (the BASELINE multi-covariate benchmark designs)."""
+    from harmony_tpu.bench import make_synthetic_cells
+
+    Z, cols = make_synthetic_cells(500, 8, [2, 3], seed=1)
+    assert Z.shape == (500, 8)
+    assert sorted(cols) == ["v0", "v1"]
+    assert cols["v0"].max() == 1 and cols["v1"].max() == 2
+    # int form stays a bare array (single covariate)
+    Z1, b = make_synthetic_cells(500, 8, 4, seed=1)
+    assert b.shape == (500,) and b.max() == 3
