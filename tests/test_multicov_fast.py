@@ -199,3 +199,41 @@ def test_twocov_rotate_end_to_end_mixes_batches():
     assert emb.shape == (N, d) and np.isfinite(emb).all()
     r_sums = res.R.sum(axis=0)
     np.testing.assert_allclose(r_sums, 1.0, atol=1e-4)
+
+
+def test_twocov_sharded_virtual_matches_materialized():
+    """The multi-covariate fast path under a cells mesh: sharded virtual R
+    (per-shard schedules, psum'd moment table, multi-hot run maps) must
+    reproduce the sharded materialised run — the two-covariate counterpart
+    of test_sharded_pallas.py::test_sharded_virtual_matches_materialized."""
+    from harmony_tpu.sharding import make_mesh, pad_for_mesh, shard_state
+
+    out = {}
+    mesh = make_mesh(4)
+    for virtual in (False, True):
+        cfg, state, tiled = _engine_problem(
+            (2, 3), N=8192, virtual=virtual
+        )
+        cfg = pad_for_mesh(cfg, mesh)  # 8192 % 4 == 0: no-op, kept for form
+        engine = make_engine(cfg, codes=state.codes, mesh=mesh)
+        state = shard_state(state, mesh)
+        state = engine.init_cluster(state)
+        state = engine.run_rounds(state, jnp.int32(3))
+        if virtual:
+            assert state.virt_pen is not None, (
+                "sharded two-covariate virtual gate did not fire"
+            )
+            state = engine.materialize_r(state)
+        out[virtual] = state
+
+    np.testing.assert_allclose(
+        np.asarray(out[True].Z_corr), np.asarray(out[False].Z_corr),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[True].objective_harmony),
+        np.asarray(out[False].objective_harmony), rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[True].R), np.asarray(out[False].R), atol=1e-6
+    )
