@@ -47,16 +47,23 @@ def main():
 
     results = {}
     for n in counts:
+        # estep_impl is forced to 'pallas' so BOTH legs run the production
+        # kernel structure (stats-carry rounds; shard_map wrappers on the
+        # mesh leg). The 'auto' resolution picks the XLA path off-TPU,
+        # which the mesh partitions very differently — a 1-vs-N comparison
+        # of that path does not measure the production engine's sharding
+        # overhead (round-3 finding).
         if n == 1:
             r = run_bench(
                 n_cells=args.cells, d=args.dims, n_batches=args.batches,
                 nclust=args.nclust, max_iter=2, shuffle_mode="rotate",
+                estep_impl="pallas",
             )
         else:
             r = run_bench(
                 n_cells=args.cells, d=args.dims, n_batches=args.batches,
                 nclust=args.nclust, max_iter=2, mesh="auto",
-                shuffle_mode="rotate",
+                shuffle_mode="rotate", estep_impl="pallas",
             )
         total = r["value"] * r["n_devices"]
         results[n] = {
