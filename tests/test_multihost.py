@@ -117,3 +117,46 @@ def test_initialize_distributed_idempotent(monkeypatch):
 
     monkeypatch.setattr(jax.distributed, "initialize", boom)
     assert sharding.initialize_distributed() == jax.process_count()
+
+
+@pytest.mark.slow
+def test_two_process_fast_path_matches_single_process():
+    """The FULL production fast path across two real processes: two
+    covariates, batch-tiled ingest, per-shard Pallas rounds with fused
+    moments and virtual R, gloo collectives. Both processes must hold the
+    same replicated trace, match the single-process mesh run, and engage
+    virtual R (the round-3 multi-covariate fast path, under real
+    multi-process collectives rather than the in-process virtual mesh)."""
+    port = _free_port()
+    base = [
+        "--num-processes", "2", "--port", str(port), "--cells", "16384",
+        "--fast-path",
+    ]
+
+    ref = _run_worker(["--process-id", "0", "--single-process", *base])
+    assert ref["virtual_r_engaged"], "fast path did not engage (single)"
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, "--process-id", str(i), *base],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env={k: v for k, v in os.environ.items() if k != "XLA_FLAGS"},
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=420)
+        assert p.returncode == 0, (stdout[-2000:], stderr[-2000:])
+        line = [l for l in stdout.splitlines() if l.startswith("{")][-1]
+        outs.append(json.loads(line))
+
+    for o in outs:
+        assert o["processes"] == 2 and o["global_devices"] == 4
+        assert o["virtual_r_engaged"], "fast path did not engage (multi)"
+    np.testing.assert_array_equal(
+        outs[0]["objective_kmeans"], outs[1]["objective_kmeans"]
+    )
+    np.testing.assert_allclose(
+        outs[0]["objective_harmony"], ref["objective_harmony"], rtol=1e-4
+    )

@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--nclust", type=int, default=5)
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument(
+        "--fast-path", action="store_true",
+        help="full production fast path: a second covariate, batch-tiled "
+        "ingest, fused M-step moments and virtual R over the global mesh",
+    )
+    ap.add_argument(
         "--single-process", action="store_true",
         help="skip jax.distributed: one process owning the whole mesh "
         "(the reference result the multi-process run must match)",
@@ -83,20 +88,37 @@ def main():
     N, d, B = args.cells, args.dims, args.batches
     batches = rng.integers(0, B, N)
     Z = (rng.normal(size=(B, d)) * 0.8)[batches] + rng.normal(size=(N, d))
-    design = build_design({"dataset": batches.astype(str)}, ["dataset"])
+    meta = {"dataset": batches.astype(str)}
+    vars_use = ["dataset"]
+    if args.fast_path:
+        donors = rng.integers(0, 2, N)
+        Z = Z + (rng.normal(size=(2, d)) * 0.6)[donors]
+        meta["donor"] = donors.astype(str)
+        vars_use.append("donor")
+    design = build_design(meta, vars_use)
     options = harmony_options(block_size=0.25)
     cfg = resolve_config(
         n_cells=N, d=d, design=design, nclust=args.nclust,
         max_iter=args.rounds, early_stop=False, options=options,
         verbose=False,
     )
-    cfg = dataclasses.replace(
-        cfg, shuffle_mode="rotate", estep_impl="pallas", estep_sub_tile=512,
+    overrides = dict(
+        shuffle_mode="rotate", estep_impl="pallas", estep_sub_tile=512,
     )
+    if args.fast_path:
+        overrides.update(mstep_tile=128, mstep_mode="tiled", virtual_r=True)
+    cfg = dataclasses.replace(cfg, **overrides)
     mesh = make_mesh()  # all global devices
     assert mesh.size == n_global
     hp = expand_hyperparams(design, cfg.K, None, 0.1, 1.0, options.tau)
     Zt = orient_embedding(Z, N)
+    if args.fast_path:
+        # identical host-side ingest order in every process (same seed)
+        from harmony_tpu.ops.tiled import build_batch_tiled_order
+
+        perm, _ = build_batch_tiled_order(design.codes, 128, seed=0)
+        Zt = Zt[:, perm]
+        design = dataclasses.replace(design, codes=design.codes[:, perm])
 
     host_codes = design.codes.astype(np.int32)
     state = init_state(
@@ -115,6 +137,7 @@ def main():
         "process_id": args.process_id,
         "processes": jax.process_count(),
         "global_devices": jax.device_count(),
+        "virtual_r_engaged": state.virt_pen is not None,
         "objective_kmeans": [float(x) for x in obj_k],
         "objective_harmony": [float(x) for x in obj_h],
     }), flush=True)
