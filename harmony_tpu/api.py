@@ -260,6 +260,7 @@ def run_harmony(
     shuffle_mode: str = "auto",
     estep_impl: str = "auto",
     mstep_impl: str = "auto",
+    virtual_r: Optional[bool] = None,
     abort=None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 1,
@@ -276,6 +277,11 @@ def run_harmony(
     ``mesh`` distributes the run: pass a 1-D ``jax.sharding.Mesh`` (see
     :func:`harmony_tpu.sharding.make_mesh`) or ``"auto"`` to shard cells
     data-parallel over all local devices.
+
+    ``virtual_r``: ``None`` (default) resolves by dtype — fp32 writes the
+    final round's R once, reduced-precision runs never materialise it
+    during rounds (see ``HarmonyConfig.virtual_r`` for the measured
+    tradeoff); trajectories are identical either way.
 
     ``shuffle_mode``: ``"permute"`` reproduces the reference's fresh
     random cell permutation per clustering round (bit-comparable
@@ -309,7 +315,7 @@ def run_harmony(
             verbose=verbose, seed=seed, options=options, dtype=dtype,
             ridge_solver=ridge_solver, mesh=mesh, init_Y=init_Y,
             shuffle_mode=shuffle_mode, estep_impl=estep_impl,
-            mstep_impl=mstep_impl, abort=abort,
+            mstep_impl=mstep_impl, virtual_r=virtual_r, abort=abort,
             checkpoint_path=checkpoint_path,
             checkpoint_every=checkpoint_every, **legacy,
         )
@@ -356,9 +362,12 @@ def run_harmony(
         from .sharding import pad_for_mesh
 
         cfg = pad_for_mesh(cfg, mesh)
-    cfg = dataclasses.replace(
-        cfg, estep_impl=estep_impl, mstep_impl=mstep_impl
-    )
+    overrides = {"estep_impl": estep_impl, "mstep_impl": mstep_impl}
+    if virtual_r is not None:
+        # bandwidth-for-write-pressure tradeoff, trajectories unchanged
+        # (see HarmonyConfig.virtual_r)
+        overrides["virtual_r"] = virtual_r
+    cfg = dataclasses.replace(cfg, **overrides)
     cfg = finalize_engine_config(cfg, mesh)
 
     # 'rotate' shuffle mode pre-shuffles cells once at ingest (contiguous

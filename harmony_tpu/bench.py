@@ -143,6 +143,8 @@ def run_bench(
         overrides["estep_variant"] = os.environ["HARMONY_BENCH_VARIANT"]
     if os.environ.get("HARMONY_BENCH_SUBTILE"):
         overrides["estep_sub_tile"] = int(os.environ["HARMONY_BENCH_SUBTILE"])
+    if os.environ.get("HARMONY_BENCH_VIRTUAL"):
+        overrides["virtual_r"] = os.environ["HARMONY_BENCH_VIRTUAL"] != "0"
     if mstep_mode:
         overrides["mstep_mode"] = mstep_mode
     if shuffle_mode:

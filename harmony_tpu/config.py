@@ -191,12 +191,22 @@ class HarmonyConfig:
     # round never re-reads R from HBM (ops/pallas_rotate.py v2); False falls
     # back to the two-phase kernel that recovers block stats by streaming R.
     rotate_stats_carry: bool = True
-    # Virtual R: on the single-covariate batch-tiled stats-carry path, no
-    # round writes the (K, N) assignment matrix at all — the correction
-    # recomputes assignments from the final round's tiny penalty table, and
-    # the user-facing R materialises once per run (engine.materialize_r).
+    # Virtual R: on the batch-tiled stats-carry path, no round writes the
+    # (K, N) assignment matrix at all — the correction recomputes
+    # assignments from the final round's tiny penalty table, and the
+    # user-facing R materialises once per run (engine.materialize_r).
     # Trajectories are bit-compatible with virtual_r=False on that path.
-    virtual_r: bool = True
+    # None = resolved by dtype in finalize_engine_config (r3 A/B on v5e):
+    # * fp32: OFF — the correction's in-kernel assignment recompute (an
+    #   extra K x N exp chain, ~1 ms at 500k) costs more than the
+    #   final-round R write + correction R read it avoids (4.9 vs
+    #   5.4 ms/iter at 500k x 50 B=10; 14.9 vs 16.2 ms at 1M x 100).
+    # * bf16: ON — the non-virtual path's R write is f32-kernel-output +
+    #   cast-to-bf16, a 3-pass HBM round-trip that dominates at scale
+    #   (10M x 100 bf16: 144 ms/iter virtual vs 165 ms written).
+    # The R *buffer* exists in the state either way (virtual R saves
+    # bandwidth, not capacity); explicit True/False overrides the policy.
+    virtual_r: "bool | None" = None
     # Cell-shuffle strategy for the block updates. 'permute' reproduces the
     # reference exactly (fresh random permutation per round; costs one
     # indexed gather/scatter of the K x N state per round). 'rotate'
@@ -387,4 +397,8 @@ def finalize_engine_config(cfg: HarmonyConfig, mesh=None) -> HarmonyConfig:
         # with the XLA dense path on v5e (the per-batch unrolled matmuls pay
         # Mosaic op latency back); they stay opt-in via mstep_impl='pallas'.
         cfg = _dc.replace(cfg, mstep_impl="xla")
+    if cfg.virtual_r is None:
+        # dtype policy (see the field's comment): fp32 prefers writing R
+        # once; reduced-precision engines prefer never materialising it
+        cfg = _dc.replace(cfg, virtual_r=cfg.dtype != "float32")
     return cfg

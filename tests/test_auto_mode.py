@@ -86,8 +86,8 @@ def test_w_recompute_consistent_on_virtual_run():
     res = run_harmony(
         Z, {"dataset": batches.astype(str)}, ["dataset"], nclust=6,
         max_iter=2, seed=0, shuffle_mode="rotate", estep_impl="pallas",
-        options=harmony_options(block_size=0.25), return_object=True,
-        early_stop=False,
+        virtual_r=True, options=harmony_options(block_size=0.25),
+        return_object=True, early_stop=False,
     )
     assert res.state.virt_pen is not None, "virtual path did not engage"
     W = np.asarray(res.W)  # (K, B+1, d), dense recompute from final state
