@@ -45,8 +45,11 @@ res = run_harmony(
     shuffle_mode="rotate",
     # dtype="bfloat16",            # halves HBM traffic at scale
     # mesh="auto",                 # shard cells over all local devices
-    checkpoint_path=ckpt,  # crash recovery: resume via the CLI or
-    #                        checkpoint.load_checkpoint(ckpt, Z, design)
+    checkpoint_path=ckpt,  # crash recovery: resume via the CLI
+    #   (harmony-tpu run ... --checkpoint PATH), which rebuilds the
+    #   rotate ingest order from the checkpoint's provenance meta —
+    #   load_checkpoint alone would pair the shuffled state with
+    #   unshuffled inputs
     nclust=50,
     max_iter=5,
     verbose=True,  # per-round objective + cells/s progress lines

@@ -398,7 +398,16 @@ def finalize_engine_config(cfg: HarmonyConfig, mesh=None) -> HarmonyConfig:
         # Mosaic op latency back); they stay opt-in via mstep_impl='pallas'.
         cfg = _dc.replace(cfg, mstep_impl="xla")
     if cfg.virtual_r is None:
-        # dtype policy (see the field's comment): fp32 prefers writing R
-        # once; reduced-precision engines prefer never materialising it
-        cfg = _dc.replace(cfg, virtual_r=cfg.dtype != "float32")
+        # dtype policy (see the field's comment): full-precision engines
+        # prefer writing R once; REDUCED-precision engines prefer never
+        # materialising it (the write pays an f32-output + cast
+        # round-trip). Itemsize, not string compare: np.float32 spellings
+        # normalise in resolve_config, but direct HarmonyConfig
+        # construction may carry any dtype-like, and float64 is not
+        # reduced precision.
+        import numpy as _np
+
+        cfg = _dc.replace(
+            cfg, virtual_r=bool(_np.dtype(cfg.dtype).itemsize < 4)
+        )
     return cfg

@@ -264,7 +264,10 @@ def resolve_config(
         lambda_estimation=lambda_estimation,
         block_size=options.block_size,
         shuffle_mode=shuffle_mode,
-        dtype=dtype,
+        # canonical string form: np.float32 / np.dtype("float32") spellings
+        # must compare equal to "float32" downstream (the virtual_r dtype
+        # policy and the hashable static config both rely on it)
+        dtype=np.dtype(dtype).name,
         ridge_solver=ridge_solver,
         verbose=verbose,
     )

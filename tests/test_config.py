@@ -206,3 +206,28 @@ class TestFinalizeEngineTileSizing:
         cfg = finalize_engine_config(self._cfg(500_000, estep_impl="pallas"))
         assert cfg.estep_sub_tile == 4096
         assert cfg.Np % 4096 == 0
+
+
+def test_dtype_spellings_normalize_and_resolve_virtual_policy():
+    """np.float32 / np.dtype spellings must behave exactly like the string
+    (code-review r3: the virtual_r dtype policy and the hashable static
+    config both compare dtype); float64 is not reduced precision."""
+    import numpy as np
+
+    from harmony_tpu.config import finalize_engine_config, harmony_options
+    from harmony_tpu.preprocess import build_design, resolve_config
+
+    d = build_design({"a": np.zeros(200, np.int32)}, ["a"])
+    for spelling, expect_virtual in (
+        (np.float32, False), ("float32", False), ("bfloat16", True),
+        (np.float64, False), (np.float16, True),
+    ):
+        cfg = resolve_config(
+            n_cells=200, d=5, design=d, nclust=4, max_iter=2,
+            early_stop=True, options=harmony_options(), verbose=False,
+            dtype=spelling,
+        )
+        assert isinstance(cfg.dtype, str)
+        cfg = finalize_engine_config(cfg, None)
+        assert cfg.virtual_r is expect_virtual, (spelling, cfg.virtual_r)
+        hash(cfg)

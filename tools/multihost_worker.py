@@ -105,8 +105,9 @@ def main():
     overrides = dict(
         shuffle_mode="rotate", estep_impl="pallas", estep_sub_tile=512,
     )
+    tile = 128  # ingest tiling and cfg.mstep_tile must agree (fast path)
     if args.fast_path:
-        overrides.update(mstep_tile=128, mstep_mode="tiled", virtual_r=True)
+        overrides.update(mstep_tile=tile, mstep_mode="tiled", virtual_r=True)
     cfg = dataclasses.replace(cfg, **overrides)
     mesh = make_mesh()  # all global devices
     assert mesh.size == n_global
@@ -116,7 +117,7 @@ def main():
         # identical host-side ingest order in every process (same seed)
         from harmony_tpu.ops.tiled import build_batch_tiled_order
 
-        perm, _ = build_batch_tiled_order(design.codes, 128, seed=0)
+        perm, _ = build_batch_tiled_order(design.codes, tile, seed=0)
         Zt = Zt[:, perm]
         design = dataclasses.replace(design, codes=design.codes[:, perm])
 
