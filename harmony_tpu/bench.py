@@ -129,8 +129,11 @@ def run_bench(
         n_cells=n_cells, d=d, design=design, nclust=nclust,
         # trace capacity for the warm-up + settle dispatch plus all repeats
         # of the two-point measurement below (pairs of 2 and 2+max_iter
-        # rounds)
-        max_iter=n_pairs * (max_iter + 4) + 5, early_stop=False,
+        # rounds). Sized for the ATTEMPT cap (2*n_pairs — hiccup-discarded
+        # attempts still consume rounds), not just the valid-pair count:
+        # past capacity the trace writes clamp and the convergence window
+        # would read stale values.
+        max_iter=2 * n_pairs * (max_iter + 4) + 5, early_stop=False,
         options=options, verbose=False,
     )
     import dataclasses

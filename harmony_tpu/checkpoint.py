@@ -66,6 +66,14 @@ def save_checkpoint(
     :func:`read_checkpoint_meta`)."""
     if mode not in ("minimal", "full"):
         raise ValueError("mode must be 'minimal' or 'full'")
+    if mode == "full" and getattr(state, "virt_pen", None) is not None:
+        # Virtual-R rounds leave state.R stale; a full checkpoint persists
+        # R verbatim, so materialise it from the virtual context first.
+        # Minimal checkpoints (the driver's per-round cadence) skip this
+        # entirely — R is re-derived from (Y, Z_corr) on load.
+        from .engine import materialize_r
+
+        state = materialize_r(cfg, state)
     path = normalize_checkpoint_path(path)
     fields = _MINIMAL_FIELDS + (_FULL_ONLY_FIELDS if mode == "full" else ())
     arrays = {f: np.asarray(getattr(state, f)) for f in fields}

@@ -195,7 +195,10 @@ class HarmonyConfig:
     # (K, N) assignment matrix at all — the correction recomputes
     # assignments from the final round's tiny penalty table, and the
     # user-facing R materialises once per run (engine.materialize_r).
-    # Trajectories are bit-compatible with virtual_r=False on that path.
+    # Trajectories are bit-compatible with virtual_r=False on that path
+    # for <=2 covariates; with >=3 the tail correction's one-hot
+    # reduction tree may differ in the last bit (_virtual_tail_r,
+    # ops/ridge.py).
     # None = resolved by dtype in finalize_engine_config (r3 A/B on v5e):
     # * fp32: OFF — the correction's in-kernel assignment recompute (an
     #   extra K x N exp chain, ~1 ms at 500k) costs more than the

@@ -188,9 +188,14 @@ def harmonize(
         if checkpoint_path and (it + 1) % checkpoint_every == 0:
             from .checkpoint import save_checkpoint
 
+            # minimal checkpoints never persist R (load_checkpoint
+            # re-derives it from (Y, Z_corr) exactly as the cluster
+            # re-entry does, src/harmony.cpp:214-228) — so virtual-R runs
+            # need NO per-round (K, N) materialisation here; the one
+            # user-facing materialise happens after the loop
             with _scope(timers, "checkpoint"):
                 save_checkpoint(
-                    checkpoint_path, cfg, engine.materialize_r(state),
+                    checkpoint_path, cfg, state,
                     mode="minimal", meta=checkpoint_meta,
                 )
         if verbose:
