@@ -156,8 +156,9 @@ def run_bench(
         overrides["shuffle_mode"] = shuffle_mode
     if dtype:
         overrides["dtype"] = dtype
-        if dtype == "bfloat16":
-            overrides["matmul_precision"] = "bfloat16"
+        # matmul precision resolves by dtype (bf16 -> true bf16 matmuls)
+        # in finalize_engine_config, same as the public API
+        overrides["matmul_precision"] = "auto"
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
     the_mesh = None

@@ -154,7 +154,12 @@ class HarmonyConfig:
 
     # Numerics
     dtype: str = "float32"  # compute dtype for the hot path
-    matmul_precision: str = "float32"  # 'bfloat16'|'float32'|'highest' for dot ops
+    # Precision of dot ops: 'bfloat16' | 'float32' (3-pass bf16, the
+    # parity-contract default) | 'highest' (6-pass) | 'auto' (resolved by
+    # dtype in finalize_engine_config — see resolve_matmul_precision).
+    # The user-reachable analog of the reference's configure precision
+    # probe (configure:23-40).
+    matmul_precision: str = "float32"
     ridge_solver: str = "auto"  # 'auto' | 'cholesky' | 'solve' | 'arrowhead'
     # M-step moment strategy: 'dense' one-hot contractions, 'segment'
     # batch-pure tile matmuls via gathers (ops/segments.py), 'tiled'
@@ -321,6 +326,28 @@ class HarmonyConfig:
         return 1 + self.max_iter_harmony
 
 
+def resolve_matmul_precision(dtype: str, matmul_precision: str = "auto") -> str:
+    """Resolve the 'auto' matmul-precision sentinel by engine dtype.
+
+    Reduced-precision engines (itemsize < 4) run true bf16 matmuls — the
+    configuration every recorded bf16 throughput figure was measured with
+    (PERFORMANCE.md); float64 parity engines run 'highest'; float32 keeps
+    the 3-pass fp32-equivalent passes the parity contract assumes. The
+    dtype->precision policy is the analog of the reference's configure
+    probe selecting a float vs double build (configure:23-40).
+    """
+    if matmul_precision != "auto":
+        return matmul_precision
+    import numpy as _np
+
+    dt = _np.dtype(dtype)
+    if dt.itemsize < 4:
+        return "bfloat16"
+    if dt == _np.float64:
+        return "highest"
+    return "float32"
+
+
 def default_nclust(n_cells: int) -> int:
     """K heuristic ``min(round(N/30), 100)`` (R/ui.R:192-194).
 
@@ -395,6 +422,10 @@ def finalize_engine_config(cfg: HarmonyConfig, mesh=None) -> HarmonyConfig:
         Npt = -(-cfg.Np // align) * align
         if Npt != cfg.Np:
             cfg = _dc.replace(cfg, N_pad=Npt)
+    if cfg.matmul_precision == "auto":
+        cfg = _dc.replace(
+            cfg, matmul_precision=resolve_matmul_precision(cfg.dtype)
+        )
     if cfg.mstep_impl == "auto":
         # The fused M-step kernels (ops/pallas_ridge.py) measure at parity
         # with the XLA dense path on v5e (the per-batch unrolled matmuls pay

@@ -613,8 +613,12 @@ def _with_precision(cfg: HarmonyConfig, fn):
     'highest' -> 6-pass). The context must wrap *tracing*, hence inside jit.
     """
 
+    from .config import resolve_matmul_precision
+
+    prec = resolve_matmul_precision(cfg.dtype, cfg.matmul_precision)
+
     def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision(cfg.matmul_precision):
+        with jax.default_matmul_precision(prec):
             return fn(*args, **kwargs)
 
     return wrapped

@@ -243,6 +243,7 @@ def resolve_config(
     dtype: str = "float32",
     ridge_solver: str = "cholesky",
     shuffle_mode: str = "permute",
+    matmul_precision: str = "auto",
 ) -> HarmonyConfig:
     """Assemble the static engine config (R/ui.R:133-150, 192-194)."""
     if nclust is None:
@@ -268,6 +269,10 @@ def resolve_config(
         # must compare equal to "float32" downstream (the virtual_r dtype
         # policy and the hashable static config both rely on it)
         dtype=np.dtype(dtype).name,
+        # 'auto' is resolved by dtype in finalize_engine_config
+        # (config.resolve_matmul_precision): bf16 engines get true bf16
+        # matmuls — the benchmarked configuration — without a second knob
+        matmul_precision=matmul_precision,
         ridge_solver=ridge_solver,
         verbose=verbose,
     )

@@ -104,3 +104,55 @@ def test_w_recompute_consistent_on_virtual_run():
         np.asarray(res.state.Z_corr)[:, : res.config.N], Zc_expected,
         atol=5e-4,
     )
+
+
+def test_w_rides_tiled_path_on_mesh_virtual_run(monkeypatch):
+    """VERDICT r3 #4: res.W on a mesh + virtual-R run must route through
+    the run's batch-tiled layout and mesh — never a full (N, B) one-hot —
+    and match the dense small-N value."""
+    import harmony_tpu.ops as ops_mod
+    from harmony_tpu.config import harmony_options
+
+    rng = np.random.default_rng(11)
+    # big enough that choose_tiled_tile accepts a layout on the 8-shard
+    # mesh (>=2 tiles per joint group per shard-local rotate block)
+    N, d, B = 32768, 8, 3
+    Z = rng.normal(size=(N, d)).astype(np.float32)
+    meta = {"dataset": rng.integers(0, B, N).astype(str)}
+    res = run_harmony(
+        Z, meta, ["dataset"], nclust=6, max_iter=2, seed=0,
+        shuffle_mode="rotate", estep_impl="pallas", virtual_r=True,
+        mesh="auto", options=harmony_options(block_size=0.25),
+        return_object=True, early_stop=False,
+    )
+    assert res.state.virt_pen is not None, "virtual path did not engage"
+    assert res.mesh is not None, "mesh not recorded on the result"
+
+    seen = {}
+    real = ops_mod.moe_correct_ridge
+
+    def spy(*args, **kwargs):
+        seen.update(kwargs)
+        return real(*args, **kwargs)
+
+    real_onehot = jax.nn.one_hot
+
+    def onehot_guard(x, num_classes, *a, **kw):
+        assert np.ndim(x) == 0 or np.shape(x)[-1] < N, (
+            "W recompute materialised a cell-axis one-hot"
+        )
+        return real_onehot(x, num_classes, *a, **kw)
+
+    monkeypatch.setattr(ops_mod, "moe_correct_ridge", spy)
+    monkeypatch.setattr(jax.nn, "one_hot", onehot_guard)
+    W_fast = res.W
+    monkeypatch.undo()
+    assert seen.get("tiled") is not None, "W recompute skipped the tiled path"
+    assert seen.get("mesh") is res.mesh
+
+    _, _, W_dense = real(
+        res.config, res.state.Z_orig, res.state.R, res.state.O,
+        res.state.E, res.state.codes, res.state.batch_sizes,
+        res.state.lamb, res.state.Y,
+    )
+    np.testing.assert_allclose(W_fast, np.asarray(W_dense), atol=2e-5)

@@ -231,3 +231,41 @@ def test_dtype_spellings_normalize_and_resolve_virtual_policy():
         cfg = finalize_engine_config(cfg, None)
         assert cfg.virtual_r is expect_virtual, (spelling, cfg.virtual_r)
         hash(cfg)
+
+
+def test_matmul_precision_resolves_by_dtype():
+    """The public API must reproduce the benchmarked bf16 configuration
+    (VERDICT r3 #3): run_harmony(dtype='bfloat16') alone yields an engine
+    config with true bf16 matmuls — the knob pair PERFORMANCE.md's 120.4M
+    row was measured with — while fp32 keeps the parity-contract 3-pass
+    passes and an explicit value always wins."""
+    import numpy as np
+
+    from harmony_tpu import run_harmony
+    from harmony_tpu.config import resolve_matmul_precision
+
+    # policy unit: dtype -> precision
+    assert resolve_matmul_precision("bfloat16") == "bfloat16"
+    assert resolve_matmul_precision("float16") == "bfloat16"
+    assert resolve_matmul_precision("float32") == "float32"
+    assert resolve_matmul_precision("float64") == "highest"
+    assert resolve_matmul_precision("bfloat16", "float32") == "float32"
+
+    # end-to-end: the config the engine actually ran with
+    rng = np.random.default_rng(0)
+    Z = rng.normal(size=(200, 6)).astype(np.float32)
+    meta = {"dataset": rng.integers(0, 3, 200).astype(str)}
+    res = run_harmony(
+        Z, meta, ["dataset"], nclust=4, max_iter=1, dtype="bfloat16",
+        return_object=True,
+    )
+    assert res.config.matmul_precision == "bfloat16"
+    res32 = run_harmony(
+        Z, meta, ["dataset"], nclust=4, max_iter=1, return_object=True,
+    )
+    assert res32.config.matmul_precision == "float32"
+    res_explicit = run_harmony(
+        Z, meta, ["dataset"], nclust=4, max_iter=1, dtype="bfloat16",
+        matmul_precision="highest", return_object=True,
+    )
+    assert res_explicit.config.matmul_precision == "highest"
