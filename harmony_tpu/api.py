@@ -412,7 +412,12 @@ def run_harmony(
     # zero-gather O(K·N·d) path (sharded: per-shard tiles + one psum of
     # the joint moment table).
     ingest_inv = None
-    ckpt_meta = {"shuffle_mode": shuffle_mode, "seed": seed}
+    ckpt_meta = {
+        "shuffle_mode": shuffle_mode, "seed": seed,
+        # mesh provenance (ADVICE r3): lets a CLI resume know the run was
+        # sharded even when --mesh is not re-passed
+        "mesh_size": 0 if mesh is None else int(mesh.size),
+    }
     if shuffle_mode == "rotate":
         from .ops.tiled import (
             build_batch_tiled_order, choose_tiled_tile, count_joint_levels,
