@@ -199,10 +199,26 @@ def harmonize(
                     mode="minimal", meta=checkpoint_meta,
                 )
         if verbose:
-            # per-round progress with throughput — the RcppProgress analog
-            # (src/harmony.cpp:210, 348); the convergence fetch above
-            # synchronised with the device before dt was taken, so dt is a
-            # true round wall (excluding any checkpoint write)
+            # per-kmeans-round ticks — the RcppProgress within-clustering
+            # granularity analog (src/harmony.cpp:210, src/utils.cpp:21).
+            # Each harmony round is ONE device program here (that is the
+            # single-dispatch design), so the ticks flush when the round's
+            # convergence fetch lands rather than live mid-dispatch; the
+            # objectives come from the round's kmeans trace.
+            nk = int(state.n_kmeans)
+            done = int(state.kmeans_rounds[int(state.n_rounds) - 1])
+            objs = np.asarray(
+                state.objective_kmeans[max(nk - done, 0): nk],
+                dtype=np.float64,
+            )
+            for j, o in enumerate(objs):
+                logger.info(
+                    "  kmeans %d/%d  objective=%.6f",
+                    j + 1, cfg.max_iter_cluster, o,
+                )
+            # per-round progress with throughput — the convergence fetch
+            # above synchronised with the device before dt was taken, so
+            # dt is a true round wall (excluding any checkpoint write)
             obj = float(state.objective_harmony[int(state.n_harmony) - 1])
             logger.info(
                 "Harmony %d/%d  objective=%.6f  (%.3fs, %.2fM cells/s)",

@@ -156,3 +156,22 @@ def test_w_rides_tiled_path_on_mesh_virtual_run(monkeypatch):
         res.state.lamb, res.state.Y,
     )
     np.testing.assert_allclose(W_fast, np.asarray(W_dense), atol=2e-5)
+
+
+def test_verbose_per_kmeans_round_ticks(caplog):
+    """VERDICT r3 #9: the verbose surface emits one tick per kmeans round
+    (objective from the round's trace) — the RcppProgress
+    within-clustering granularity analog (src/harmony.cpp:210,
+    src/utils.cpp:21)."""
+    import logging
+
+    Z, meta = make_synthetic(None, n_cells=200, d=6, seed=1)
+    with caplog.at_level(logging.INFO, logger="harmony_tpu"):
+        res = run_harmony(
+            Z, meta, ["dataset"], nclust=5, max_iter=2, return_object=True,
+            seed=1, verbose=True, early_stop=False,
+        )
+    ticks = [r for r in caplog.records if r.message.lstrip().startswith("kmeans")]
+    expected = int(np.sum(res.kmeans_rounds[: int(res.state.n_rounds)]))
+    assert len(ticks) == expected and expected >= 2, (len(ticks), expected)
+    assert all("objective=" in t.message for t in ticks)
