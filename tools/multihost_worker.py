@@ -43,6 +43,15 @@ def main():
         help="skip jax.distributed: one process owning the whole mesh "
         "(the reference result the multi-process run must match)",
     )
+    ap.add_argument(
+        "--bench-pairs", type=int, default=0,
+        help="additionally time the engine: N repeats of the two-point "
+        "(2 vs 2+rounds) run_rounds measurement (the bench.py method); "
+        "adds 'seconds_per_iter' to the JSON line. This is the one "
+        "DCN-analog wall this environment can record: per-iteration "
+        "wall of the gloo-coupled multi-process mesh vs the same-size "
+        "single-process mesh (VERDICT r3 #6).",
+    )
     args = ap.parse_args()
 
     n_global = args.local_devices * args.num_processes
@@ -97,9 +106,14 @@ def main():
         vars_use.append("donor")
     design = build_design(meta, vars_use)
     options = harmony_options(block_size=0.25)
+    # bench mode consumes extra rounds (2 + pairs * (4 + rounds)); the
+    # trace buffers are fixed-capacity, so size them for the whole budget
+    cap = args.rounds + (
+        2 + args.bench_pairs * (4 + args.rounds) if args.bench_pairs else 0
+    )
     cfg = resolve_config(
         n_cells=N, d=d, design=design, nclust=args.nclust,
-        max_iter=args.rounds, early_stop=False, options=options,
+        max_iter=cap, early_stop=False, options=options,
         verbose=False,
     )
     overrides = dict(
@@ -131,6 +145,29 @@ def main():
     state = engine.init_cluster(state)
     state = engine.run_rounds(state, jnp.int32(args.rounds))
 
+    seconds_per_iter = None
+    if args.bench_pairs:
+        import time
+
+        def sync(st):
+            np.asarray(st.O)
+
+        sync(state)  # the correctness rounds double as compile warm-up
+        deltas = []
+        for _ in range(args.bench_pairs):
+            t0 = time.perf_counter()
+            state = engine.run_rounds(state, jnp.int32(2))
+            sync(state)
+            t_small = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            state = engine.run_rounds(state, jnp.int32(2 + args.rounds))
+            sync(state)
+            delta = (time.perf_counter() - t1) - t_small
+            if delta > 0:
+                deltas.append(delta)
+        if deltas:
+            seconds_per_iter = float(np.median(deltas)) / args.rounds
+
     # replicated traces are addressable everywhere
     obj_k = np.asarray(state.objective_kmeans)[: int(state.n_kmeans)]
     obj_h = np.asarray(state.objective_harmony)[: int(state.n_harmony)]
@@ -139,6 +176,7 @@ def main():
         "processes": jax.process_count(),
         "global_devices": jax.device_count(),
         "virtual_r_engaged": state.virt_pen is not None,
+        "seconds_per_iter": seconds_per_iter,
         "objective_kmeans": [float(x) for x in obj_k],
         "objective_harmony": [float(x) for x in obj_h],
     }), flush=True)
