@@ -21,4 +21,4 @@ from .config import (  # noqa: F401
 from .api import HarmonyResult, run_harmony  # noqa: F401
 from .scale import scale_data  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
