@@ -40,11 +40,18 @@ def _push_objective_terms(
     )
 
 
-def _assign_from_centroids(cfg: HarmonyConfig, state: HarmonyState):
+def _assign_from_centroids(
+    cfg: HarmonyConfig, state: HarmonyState, keep_r: bool = False
+):
     """Recompute R, E, O from (Y, Z_corr) (src/harmony.cpp:141-150, 220-227).
 
     Returns (state, kmeans_error, entropy) — the two per-cell objective
     accumulators — so init can push an objective without a stored dist.
+
+    ``keep_r=True`` updates only Z_corr/E/O and leaves the (stale) R in
+    place: the fused permute phase recomputes every assignment in-kernel
+    and never reads the state's R, so skipping the (K, N) store lets XLA
+    fuse the softmax straight into the E/O contractions.
     """
     Z = l2_normalize_columns(state.Z_corr)
     dist = ops.compute_distances(state.Y, Z)
@@ -60,7 +67,10 @@ def _assign_from_centroids(cfg: HarmonyConfig, state: HarmonyState):
         state.sigma.astype(jnp.float32)[:, None]
         * jnp.where(Rf > 0, Rf * jnp.log(Rf), 0.0)
     )
-    state = dataclasses.replace(state, Z_corr=Z, R=R, E=E, O=O)
+    if keep_r:
+        state = dataclasses.replace(state, Z_corr=Z, E=E, O=O)
+    else:
+        state = dataclasses.replace(state, Z_corr=Z, R=R, E=E, O=O)
     return state, kerr, ent
 
 
@@ -163,16 +173,25 @@ def cluster(
     use_rotate = cfg.shuffle_mode == "rotate" and perms is None
     use_pallas_rotate = use_rotate and cfg.estep_impl == "pallas"
     use_stats_carry = use_pallas_rotate and cfg.rotate_stats_carry
-    sharded_pallas = use_stats_carry and mesh is not None
+    use_permute_fused = (
+        cfg.estep_impl == "pallas"
+        and not use_rotate
+        and cfg.max_iter_cluster <= cfg.window_size + 2
+        and mesh is None
+    )
     interpret = jax.default_backend() == "cpu"
 
     # Re-entry re-estimation (src/harmony.cpp:214-228). The trace cursor is
     # 1 right after init, so this triggers for every round but the first.
-    # The stats-carry path fuses it below with the tile-stat seeding.
+    # The stats-carry path fuses it below with the tile-stat seeding; the
+    # fused permute phase recomputes assignments in-kernel, so its
+    # re-entry is stats-only (no (K, N) R store).
     if not use_stats_carry:
         state = jax.lax.cond(
             state.n_harmony != 1,
-            lambda s: _assign_from_centroids(cfg, s)[0],
+            lambda s: _assign_from_centroids(
+                cfg, s, keep_r=use_permute_fused
+            )[0],
             lambda s: s,
             state,
         )
@@ -184,6 +203,51 @@ def cluster(
             lambda k: jax.random.permutation(k, cfg.N).astype(jnp.int32)
         )(round_keys)
     state = dataclasses.replace(state, key=key)
+
+    # Fused permute PHASE (opt-in estep_impl='pallas' on the
+    # reference-exact schedule): all rounds R-gather-free — each round
+    # recomputes the previous round's assignments from carried per-block
+    # penalty tables instead of gathering the (K, N) R, and only the
+    # final round writes R (once), scattered back once per phase
+    # (ops/pallas_estep.py pallas_permute_phase). Requires the static
+    # round count (the windowed early stop cannot fire when
+    # max_iter_cluster <= window_size + 2 — same reasoning as the
+    # stats-carry unroll below).
+    if use_permute_fused:
+        from .ops.pallas_estep import pallas_permute_phase
+
+        out = pallas_permute_phase(
+            cfg, state.Z_corr, state.Y, state.E, state.O, state.codes,
+            state.Pr_b, state.sigma, state.theta, perms,
+            sub_tile=cfg.estep_sub_tile, interpret=interpret,
+        )
+        state = dataclasses.replace(
+            state,
+            R=out.R.astype(state.R.dtype),
+            E=out.E.astype(state.E.dtype),
+            O=out.O.astype(state.O.dtype),
+        )
+        n_r = int(perms.shape[0])  # == max_iter_cluster on driver paths
+        for it in range(n_r):
+            terms = ops.objective_from_stats(
+                cfg, out.kmeans_error[it], out.entropy[it],
+                out.O_rounds[it], out.E_rounds[it], state.sigma,
+                state.theta,
+            )
+            state = _push_objective_terms(cfg, state, terms)
+        state = dataclasses.replace(
+            state,
+            kmeans_rounds=state.kmeans_rounds.at[state.n_rounds].set(
+                n_r
+            ),
+            objective_harmony=state.objective_harmony.at[
+                state.n_harmony
+            ].set(state.objective_kmeans[state.n_kmeans - 1]),
+            n_harmony=state.n_harmony + 1,
+        )
+        if virtual:
+            return state, None, None
+        return (state, None) if return_moments else state
 
     if cfg.estep_impl == "pallas":
         from .ops.pallas_estep import pallas_block_update_round

@@ -28,6 +28,8 @@ statistics ride whole in VMEM and are indexed dynamically.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -249,4 +251,384 @@ def pallas_block_update_round(
         O=O_out.astype(O.dtype),
         kmeans_error=acc[0, 0],
         entropy=acc[0, 1],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused permute PHASE: reference-exact schedule without per-round R gathers
+# ---------------------------------------------------------------------------
+#
+# The per-round kernel above still pays the permute schedule's dominant
+# cost: every round gathers the (K, N) R into block layout, reduces it for
+# the old-block statistics, and scatters the new R back — three full
+# K x N indexed passes per round (VERDICT r3 weak #5 measured the
+# schedule at ~3.4M cells/s against rotate's ~100M).
+#
+# This phase-level design removes R from the round loop entirely, by the
+# same observation that powers rotate's virtual R: DURING a clustering
+# phase, Y and Z_corr are fixed (Harmony2 refreshes centroids only in the
+# correction, src/harmony.cpp:236-238, 610), so a cell's current
+# assignment is a pure function of (Y, Z_cell, penalty table in force
+# when its block was last processed). Carrying the per-block penalty
+# tables (nb x K x B — tiny) and each cell's last block id across rounds
+# lets round r+1 RECOMPUTE round r's assignments on the fly — bit-equal
+# to what round r would have written, because both run the identical
+# in-kernel op chain on identical inputs (per-column MXU products and
+# elementwise chains are column-deterministic) — instead of gathering a
+# 200 MB matrix through HBM.
+#
+# Per round the only full-size traffic left is the (d, N) Z gather into
+# the round's fresh block layout (the permutation is the reference
+# semantics — it cannot be avoided, src/harmony.cpp:272-273) plus one
+# in-kernel read of it; R is written once, by the final round, and
+# scattered back to natural order once per phase.
+#
+# Block membership, processing order and the E/O update points remain
+# bit-faithful to the reference geometry (same make_blocks partition of
+# the injected or drawn permutation).
+
+
+class PermutePhaseResult(NamedTuple):
+    R: jnp.ndarray  # (K, Np) natural order, the final round's assignments
+    E: jnp.ndarray  # (K, B) per-round stacks below are post-round values
+    O: jnp.ndarray
+    E_rounds: jnp.ndarray  # (rounds, K, B)
+    O_rounds: jnp.ndarray  # (rounds, K, B)
+    kmeans_error: jnp.ndarray  # (rounds,)
+    entropy: jnp.ndarray  # (rounds,)
+
+
+def _permute_round_kernel(
+    # inputs
+    Yt_ref,  # (K, d)
+    Z_ref,  # (d, T) tile
+    c_ref,  # (ncov, T) int32 codes tile
+    blk_ref,  # (1, T) int32 previous-round block id per cell (nb = none)
+    m_ref,  # (1, T) validity
+    pen_prev_ref,  # (K, nbp*B) previous-round penalty tables + ones tail
+    E_in_ref,  # (K, B)
+    O_in_ref,  # (K, B)
+    Pr_ref,  # (1, B)
+    sigma_ref,  # (K, 1)
+    theta_ref,  # (1, B)
+    *rest,
+    offsets: tuple,
+    B: int,
+    nbp: int,
+    write_r: bool,
+    chunk: int,
+):
+    it = iter(rest)
+    R_out_ref = next(it) if write_r else None
+    E_out_ref = next(it)
+    O_out_ref = next(it)
+    pen_out_ref = next(it)  # (nb, K, B) unblocked (VMEM-resident)
+    acc_ref = next(it)  # (1, 2) SMEM
+    E_s, O_s, pen_s, pend_r_s, pend_O_s = (
+        next(it), next(it), next(it), next(it), next(it),
+    )
+    accv_s = next(it)  # (1, 2) SMEM
+
+    i = pl.program_id(0)  # block
+    p = pl.program_id(1)  # 0 = recompute-old/remove, 1 = assign/add
+    j = pl.program_id(2)  # sub-tile
+    nsub = pl.num_programs(2)
+    n_steps_done = (i * 2 + p) * nsub + j
+
+    @pl.when(n_steps_done == 0)
+    def _():
+        E_s[:] = E_in_ref[:]
+        O_s[:] = O_in_ref[:]
+        accv_s[0, 0] = 0.0
+        accv_s[0, 1] = 0.0
+
+    @pl.when(j == 0)
+    def _():
+        pend_r_s[:] = jnp.zeros_like(pend_r_s)
+        pend_O_s[:] = jnp.zeros_like(pend_O_s)
+
+    # shared head of both phases: distances + the un-penalised softmax.
+    # Per-column MXU/VPU results are column-deterministic, so phase 0's
+    # recompute of a cell reproduces the value phase 1 computed for it
+    # last round bit-for-bit (same Y, same Z column, same sigma).
+    Z_t = Z_ref[:]  # (d, T)
+    T_t = Z_t.shape[1]
+    m_t = m_ref[0, :]
+    g = jnp.dot(Yt_ref[:], Z_t, preferred_element_type=jnp.float32)
+    d_t = 2.0 * (1.0 - g)
+    e = jnp.exp(-d_t / sigma_ref[:])
+    R1 = e / jnp.sum(e, axis=0, keepdims=True)
+
+    nch = max(1, T_t // chunk)
+    Tc = T_t // nch
+
+    def oh_codes(sl):
+        """(B, Tc) multi-hot of the chunk's batch codes."""
+        b_iota = jax.lax.broadcasted_iota(jnp.int32, (B, Tc), 0)
+        oh = None
+        for c, off in enumerate(offsets):
+            mc = (c_ref[c : c + 1, sl] + off == b_iota).astype(jnp.float32)
+            oh = mc if oh is None else oh + mc
+        return oh
+
+    def finish(sl, pc, oh):
+        """Chain tail: penalise, re-normalise, mask; accumulate pending
+        stats; returns the chunk's assignments. Writes the chunk to the
+        R output in BOTH phases when one exists (phase 0's old values
+        are overwritten by phase 1's visit to the same block before its
+        final flush; writing keeps the buffer initialised)."""
+        R_n = R1[:, sl] * pc
+        cs = jnp.sum(R_n, axis=0, keepdims=True)
+        R_n = R_n / jnp.where(cs == 0.0, 1.0, cs)
+        R_n = R_n * m_t[sl][None, :]
+        pend_r_s[:] = pend_r_s[:] + jnp.sum(R_n, axis=1, keepdims=True)
+        pend_O_s[:] = pend_O_s[:] + jax.lax.dot_general(
+            R_n, oh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if write_r:
+            R_out_ref[:, sl] = R_n
+        return R_n
+
+    @pl.when(p == 0)
+    def _():
+        # ---- recompute the block's CURRENT assignments from the carried
+        # penalty tables; accumulate them as the to-remove statistics
+        # (src/harmony.cpp:312-313 without reading R)
+        for ci in range(nch):
+            sl = slice(ci * Tc, (ci + 1) * Tc)
+            jx_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (nbp * B, Tc), 0
+            )
+            mh = None
+            for c, off in enumerate(offsets):
+                jidx = blk_ref[0:1, sl] * B + (c_ref[c : c + 1, sl] + off)
+                mc = (jidx == jx_iota).astype(jnp.float32)
+                mh = mc if mh is None else mh + mc
+            pc = jnp.dot(
+                pen_prev_ref[:], mh, preferred_element_type=jnp.float32
+            )  # exact gather: one 1 per covariate row, zeros elsewhere
+            finish(sl, pc, oh_codes(sl))
+
+    @pl.when((p == 0) & (j == nsub - 1))
+    def _():
+        # commit the removal and freeze this block's penalty table
+        # (src/harmony.cpp:312-322)
+        E_s[:] = E_s[:] - pend_r_s[:] * Pr_ref[0, :][None, :]
+        O_s[:] = O_s[:] - pend_O_s[:]
+        ratio = (2.0 * E_s[:] + 1.0) / (O_s[:] + E_s[:] + 1.0)
+        pen_s[:] = ratio ** theta_ref[0, :][None, :]
+        pen_out_ref[pl.ds(i, 1)] = pen_s[:][None]
+
+    @pl.when(p == 1)
+    def _():
+        # ---- assign against the block-removed stats
+        # (src/harmony.cpp:318-323) + objective accumulators
+        for ci in range(nch):
+            sl = slice(ci * Tc, (ci + 1) * Tc)
+            oh = oh_codes(sl)
+            pc = jnp.dot(
+                pen_s[:], oh, preferred_element_type=jnp.float32
+            )
+            R_n = finish(sl, pc, oh)
+            accv_s[0, 0] = accv_s[0, 0] + jnp.sum(R_n * d_t[:, sl])
+            xlogx = jnp.where(R_n > 0, R_n * jnp.log(R_n), 0.0)
+            accv_s[0, 1] = accv_s[0, 1] + jnp.sum(sigma_ref[:] * xlogx)
+
+    @pl.when((p == 1) & (j == nsub - 1))
+    def _():
+        # commit the block's new contribution (src/harmony.cpp:329-330)
+        E_s[:] = E_s[:] + pend_r_s[:] * Pr_ref[0, :][None, :]
+        O_s[:] = O_s[:] + pend_O_s[:]
+        E_out_ref[:] = E_s[:]
+        O_out_ref[:] = O_s[:]
+        acc_ref[0, 0] = accv_s[0, 0]
+        acc_ref[0, 1] = accv_s[0, 1]
+
+
+def pallas_permute_phase(
+    cfg: HarmonyConfig,
+    Z: jnp.ndarray,  # (d, Np) L2-normalised
+    Y: jnp.ndarray,  # (d, K)
+    E: jnp.ndarray,  # (K, B)
+    O: jnp.ndarray,
+    codes: jnp.ndarray,  # (ncov, Np)
+    Pr_b: jnp.ndarray,
+    sigma: jnp.ndarray,
+    theta: jnp.ndarray,
+    perms: jnp.ndarray,  # (rounds, N)
+    sub_tile: int = 4096,
+    interpret: bool = False,
+) -> PermutePhaseResult:
+    """All of a clustering phase's update rounds, R-gather-free.
+
+    Pre-condition: (E, O) are consistent with the CURRENT implied
+    assignments softmax(-dist/sigma) — i.e. the state right after
+    init_cluster or the cluster re-entry re-estimation
+    (src/harmony.cpp:214-228). The first round's "old" statistics are
+    recomputed with an all-ones penalty (what the re-entry wrote);
+    later rounds recompute with the carried tables.
+    """
+    offsets = cfg.covariate_offsets
+    K, Np = int(sigma.shape[0]), int(Z.shape[1])
+    nb = cfg.n_blocks
+    nbp = nb + 1  # + the ones row (pre-first-round assignments)
+    d = Z.shape[0]
+    B = cfg.B
+    f32 = jnp.float32
+    rounds = int(perms.shape[0])
+
+    # chunk so the (nbp*B, chunk) multi-hot temporary stays ~<= 2 MB
+    chunk = sub_tile
+    while chunk > 256 and nbp * B * chunk * 4 > 2 * 2**20:
+        chunk //= 2
+
+    Zf = Z.astype(f32)
+    Yt = Y.T.astype(f32)
+    pen_prev = jnp.ones((K, nbp * B), f32)
+    blk_nat = jnp.full((Np,), nb, jnp.int32)  # sentinel: ones row
+    E_c, O_c = E.astype(f32), O.astype(f32)
+    E_list, O_list, kerr_list, ent_list = [], [], [], []
+    R_lay = None
+    last_pos = None
+
+    pad1 = lambda X: jnp.concatenate(
+        [X, jnp.zeros((*X.shape[:-1], 1), X.dtype)], axis=-1
+    )
+
+    for r in range(rounds):
+        idx, mask = make_blocks(cfg, perms[r])  # (nb, S)
+        S = idx.shape[1]
+        nsub = max(1, -(-S // sub_tile))
+        S_pad = nsub * sub_tile
+        if S_pad != S:
+            padw = ((0, 0), (0, S_pad - S))
+            idx = jnp.pad(idx, padw, constant_values=Np)
+            mask = jnp.pad(mask, padw, constant_values=False)
+        L = nb * S_pad
+        flat_idx = idx.reshape(-1)
+        mf = mask.astype(f32).reshape(1, L)
+
+        Z_lay = pad1(Zf)[:, flat_idx]
+        c_lay = pad1(codes)[:, flat_idx]
+        blk_lay = jnp.concatenate(
+            [blk_nat, jnp.full((1,), nb, jnp.int32)]
+        )[flat_idx][None, :]
+
+        write_r = r == rounds - 1
+        T = sub_tile
+        grid = (nb, 2, nsub)
+
+        def lin(i, p, j):
+            return i * nsub + j
+
+        out_specs = []
+        out_shape = []
+        if write_r:
+            out_specs.append(
+                pl.BlockSpec((K, T), lambda i, p, j: (0, lin(i, p, j)))
+            )
+            out_shape.append(jax.ShapeDtypeStruct((K, L), f32))
+        out_specs += [
+            pl.BlockSpec((K, B), lambda i, p, j: (0, 0)),  # E_out
+            pl.BlockSpec((K, B), lambda i, p, j: (0, 0)),  # O_out
+            pl.BlockSpec(  # pen_out: unblocked, stays VMEM-resident
+                (nb, K, B), lambda i, p, j: (0, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 2), lambda i, p, j: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((K, B), f32),
+            jax.ShapeDtypeStruct((K, B), f32),
+            jax.ShapeDtypeStruct((nb, K, B), f32),
+            jax.ShapeDtypeStruct((1, 2), f32),
+        ]
+
+        from functools import partial
+
+        kernel = pl.pallas_call(
+            partial(
+                _permute_round_kernel,
+                offsets=offsets, B=B, nbp=nbp, write_r=write_r,
+                chunk=chunk,
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((K, d), lambda i, p, j: (0, 0)),  # Yt
+                pl.BlockSpec(
+                    (d, T), lambda i, p, j: (0, lin(i, p, j))
+                ),  # Z
+                pl.BlockSpec(
+                    (c_lay.shape[0], T), lambda i, p, j: (0, lin(i, p, j))
+                ),  # codes
+                pl.BlockSpec(
+                    (1, T), lambda i, p, j: (0, lin(i, p, j))
+                ),  # blk
+                pl.BlockSpec(
+                    (1, T), lambda i, p, j: (0, lin(i, p, j))
+                ),  # mask
+                pl.BlockSpec((K, nbp * B), lambda i, p, j: (0, 0)),
+                pl.BlockSpec((K, B), lambda i, p, j: (0, 0)),  # E_in
+                pl.BlockSpec((K, B), lambda i, p, j: (0, 0)),  # O_in
+                pl.BlockSpec((1, B), lambda i, p, j: (0, 0)),  # Pr
+                pl.BlockSpec((K, 1), lambda i, p, j: (0, 0)),  # sigma
+                pl.BlockSpec((1, B), lambda i, p, j: (0, 0)),  # theta
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((K, B), f32),  # E_s
+                pltpu.VMEM((K, B), f32),  # O_s
+                pltpu.VMEM((K, B), f32),  # pen_s
+                pltpu.VMEM((K, 1), f32),  # pend_r
+                pltpu.VMEM((K, B), f32),  # pend_O
+                pltpu.SMEM((1, 2), f32),  # accv
+            ],
+            interpret=interpret,
+        )
+        outs = kernel(
+            Yt, Z_lay, c_lay, blk_lay, mf,
+            pen_prev, E_c, O_c,
+            Pr_b.astype(f32)[None, :], sigma.astype(f32)[:, None],
+            theta.astype(f32)[None, :],
+        )
+        if write_r:
+            R_lay, E_c, O_c, pen_out, acc = outs
+            pos = jnp.full((Np + 1,), L, dtype=jnp.int32)
+            last_pos = pos.at[flat_idx].set(
+                jnp.arange(L, dtype=jnp.int32)
+            )
+        else:
+            E_c, O_c, pen_out, acc = outs
+        # next round's carried context
+        pen_prev = jnp.concatenate(
+            [
+                jnp.transpose(pen_out, (1, 0, 2)).reshape(K, nb * B),
+                jnp.ones((K, B), f32),
+            ],
+            axis=1,
+        )
+        slot_blk = (
+            jnp.arange(L, dtype=jnp.int32) // jnp.int32(S_pad)
+        )
+        blk_nat = (
+            jnp.zeros((Np + 1,), jnp.int32).at[flat_idx].set(slot_blk)
+        )[:Np]
+        E_list.append(E_c)
+        O_list.append(O_c)
+        kerr_list.append(acc[0, 0])
+        ent_list.append(acc[0, 1])
+
+    R_flat = jnp.concatenate([R_lay, jnp.zeros((K, 1), f32)], axis=1)
+    R_nat = R_flat[:, last_pos[:Np]]
+    return PermutePhaseResult(
+        R=R_nat,
+        E=E_c,
+        O=O_c,
+        E_rounds=jnp.stack(E_list),
+        O_rounds=jnp.stack(O_list),
+        kmeans_error=jnp.stack(kerr_list),
+        entropy=jnp.stack(ent_list),
     )

@@ -529,3 +529,117 @@ class TestPallasReassign:
             np.testing.assert_allclose(
                 np.asarray(tO2), np.asarray(tO_ref), rtol=1e-5, atol=1e-4
             )
+
+
+class TestPermutePhase:
+    """The R-gather-free fused permute phase (VERDICT r3 #8) vs a loop of
+    XLA rounds. The phase recomputes each round's old assignments from
+    carried penalty tables instead of reading R, so trajectories agree to
+    fp tolerance (the recompute is bit-exact for rounds >= 2; round 1's
+    re-derivation of the re-entry softmax differs in final bits)."""
+
+    def _xla_rounds(self, cfg, Z, Y, R, E, O, codes, Pr_b, sigma, theta,
+                    perms):
+        kerrs, ents = [], []
+        for r in range(perms.shape[0]):
+            res = block_update_round(
+                cfg, Z, Y, R, E, O, codes, Pr_b, sigma, theta, perms[r]
+            )
+            R, E, O = res.R, res.E, res.O
+            kerrs.append(float(res.kmeans_error))
+            ents.append(float(res.entropy))
+        return R, E, O, kerrs, ents
+
+    @pytest.mark.parametrize("B_vec", [(3,), (2, 3)])
+    def test_matches_xla_rounds(self, B_vec):
+        from harmony_tpu.ops.pallas_estep import pallas_permute_phase
+
+        cfg, Z, Y, R, E, O, codes, Pr_b, sigma, theta, _ = _problem(
+            B_vec=B_vec, N=1200, K=6
+        )
+        rng = np.random.default_rng(7)
+        perms = jnp.asarray(
+            np.stack(
+                [rng.permutation(cfg.N) for _ in range(3)]
+            ).astype(np.int32)
+        )
+        refR, refE, refO, kerrs, ents = self._xla_rounds(
+            cfg, Z, Y, R, E, O, codes, Pr_b, sigma, theta, perms
+        )
+        out = pallas_permute_phase(
+            cfg, Z, Y, E, O, codes, Pr_b, sigma, theta, perms,
+            sub_tile=256, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.R), np.asarray(refR), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.E), np.asarray(refE), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.O), np.asarray(refO), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.kmeans_error), kerrs, rtol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.entropy), ents, rtol=2e-4
+        )
+        # the R the phase returns is a probability simplex per real cell
+        cols = np.asarray(out.R).sum(axis=0)[: cfg.N]
+        np.testing.assert_allclose(cols, 1.0, atol=1e-5)
+
+    def test_with_sharding_pad(self):
+        from harmony_tpu.ops.pallas_estep import pallas_permute_phase
+
+        cfg, Z, Y, R, E, O, codes, Pr_b, sigma, theta, _ = _problem(
+            N=600, N_pad=640
+        )
+        rng = np.random.default_rng(3)
+        perms = jnp.asarray(
+            np.stack(
+                [rng.permutation(cfg.N) for _ in range(2)]
+            ).astype(np.int32)
+        )
+        refR, refE, refO, kerrs, ents = self._xla_rounds(
+            cfg, Z, Y, R, E, O, codes, Pr_b, sigma, theta, perms
+        )
+        out = pallas_permute_phase(
+            cfg, Z, Y, E, O, codes, Pr_b, sigma, theta, perms,
+            sub_tile=128, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.R), np.asarray(refR), atol=2e-5
+        )
+        # pad cells stay provably inert
+        assert float(np.abs(np.asarray(out.R)[:, cfg.N:]).max()) == 0.0
+
+    def test_engine_end_to_end_matches_xla(self, monkeypatch):
+        """run_harmony(estep_impl='pallas', shuffle_mode='permute') rides
+        the fused phase and reproduces the XLA trajectory."""
+        import harmony_tpu.ops.pallas_estep as pe
+        from harmony_tpu import run_harmony
+
+        rng = np.random.default_rng(5)
+        N, d, B = 1500, 8, 3
+        Z = rng.normal(size=(N, d)).astype(np.float32)
+        meta = {"dataset": rng.integers(0, B, N).astype(str)}
+        kw = dict(nclust=6, max_iter=2, seed=0, shuffle_mode="permute",
+                  return_object=True, early_stop=False)
+        ref = run_harmony(Z, meta, ["dataset"], estep_impl="xla", **kw)
+
+        calls = {"n": 0}
+        real = pe.pallas_permute_phase
+
+        def spy(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(pe, "pallas_permute_phase", spy)
+        out = run_harmony(Z, meta, ["dataset"], estep_impl="pallas", **kw)
+        assert calls["n"] > 0, "fused permute phase did not engage"
+        np.testing.assert_allclose(out.Z_corr, ref.Z_corr, atol=5e-4)
+        np.testing.assert_allclose(
+            out.objective_kmeans, ref.objective_kmeans, rtol=1e-4
+        )
+        np.testing.assert_allclose(out.R, ref.R, atol=5e-4)

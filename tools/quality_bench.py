@@ -173,7 +173,7 @@ def _e2e_one(n_cells, d, n_batches, dtype, repeats=2) -> dict:
     Z, batches = make_synthetic_cells(n_cells, d, n_batches, seed=0)
     meta = {"dataset": batches}
     walls = []
-    res = None
+    info = {}
     for _ in range(repeats):
         t0 = time.perf_counter()
         res = run_harmony(
@@ -182,7 +182,22 @@ def _e2e_one(n_cells, d, n_batches, dtype, repeats=2) -> dict:
         )
         _ = res.embeddings  # host fetch: the run is truly complete
         walls.append(time.perf_counter() - t0)
-    n_rounds = int(res.state.n_rounds)
+        info = {
+            "iters_run": int(res.state.n_rounds),
+            "phase_seconds": {
+                k: round(v, 3) for k, v in res.phase_seconds().items()
+            },
+            "config": {
+                "estep_impl": res.config.estep_impl,
+                "shuffle_mode": res.config.shuffle_mode,
+                "virtual_r": bool(res.config.virtual_r),
+                "matmul_precision": res.config.matmul_precision,
+            },
+        }
+        # free the result's device arrays BEFORE the next repeat: at the
+        # 10M workload two live full states exceed a v5e's 16 GB
+        del res
+    n_rounds = info["iters_run"]
     return {
         "n_cells": n_cells,
         "d": d,
@@ -190,33 +205,33 @@ def _e2e_one(n_cells, d, n_batches, dtype, repeats=2) -> dict:
         "dtype": dtype,
         "wall_s": round(walls[0], 3),
         "wall_s_warm": round(min(walls[1:]), 3) if len(walls) > 1 else None,
-        "iters_run": n_rounds,
         "wall_s_warm_per_iter": (
             round(min(walls[1:]) / max(n_rounds, 1), 4)
             if len(walls) > 1 else None
         ),
-        "phase_seconds": {
-            k: round(v, 3) for k, v in res.phase_seconds().items()
-        },
-        "config": {
-            "estep_impl": res.config.estep_impl,
-            "shuffle_mode": res.config.shuffle_mode,
-            "virtual_r": bool(res.config.virtual_r),
-            "matmul_precision": res.config.matmul_precision,
-        },
+        **info,
     }
 
 
+_E2E_NOTE = (
+    "walls include host<->device transfers through this environment's "
+    "remote TPU tunnel; on directly-attached chips the transfer "
+    "component shrinks substantially"
+)
+
+
 def section_e2e(skip_10m: bool) -> dict:
-    out = {"canonical_500k": _e2e_one(500_000, 50, 10, "float32")}
-    if not skip_10m:
-        out["baseline_10m"] = _e2e_one(10_000_000, 50, 100, "bfloat16")
-        out["note"] = (
-            "walls include host<->device transfers through this "
-            "environment's remote TPU tunnel; on directly-attached chips "
-            "the transfer component shrinks substantially"
-        )
-    return out
+    return {
+        "canonical_500k": _e2e_one(500_000, 50, 10, "float32"),
+        "note": _E2E_NOTE,
+    }
+
+
+def section_e2e10m() -> dict:
+    return {
+        "baseline_10m": _e2e_one(10_000_000, 50, 100, "bfloat16"),
+        "note": _E2E_NOTE,
+    }
 
 
 def main(argv=None) -> int:
@@ -253,7 +268,9 @@ def main(argv=None) -> int:
         elif s == "converge":
             doc["converge"] = section_converge()
         elif s == "e2e":
-            doc["e2e"] = section_e2e(args.skip_10m)
+            doc.setdefault("e2e", {}).update(section_e2e(args.skip_10m))
+        elif s == "e2e10m":
+            doc.setdefault("e2e", {}).update(section_e2e10m())
         else:
             raise SystemExit(f"unknown section {s!r}")
         doc["meta"][s] = {
