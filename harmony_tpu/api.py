@@ -124,9 +124,27 @@ class HarmonyResult:
     def B(self) -> int:
         return self.config.B
 
-    def _cells(self, X: np.ndarray) -> np.ndarray:
+    # device->host fetches are chunked to this many elements (~256 MB of
+    # f32): one giant copy can exhaust transport/staging resources on
+    # remote-attached devices, and bounded messages stream just as fast
+    _FETCH_CHUNK_ELEMS = 64 * 2**20
+
+    def _fetch(self, X) -> np.ndarray:
+        if not hasattr(X, "devices"):
+            return np.asarray(X)
+        ncols = X.shape[-1]
+        cols = max(1, self._FETCH_CHUNK_ELEMS // max(1, X.shape[0]))
+        if ncols <= cols:
+            return np.asarray(X)
+        parts = [
+            np.asarray(X[:, i : i + cols]) for i in range(0, ncols, cols)
+        ]
+        return np.concatenate(parts, axis=-1)
+
+    def _cells(self, X) -> np.ndarray:
         """Slice sharding pads and undo the ingest shuffle on the cell axis."""
         X = X[:, : self.config.N]
+        X = self._fetch(X)
         if self.ingest_inv is not None:
             X = X[:, self.ingest_inv]
         return X
@@ -136,11 +154,11 @@ class HarmonyResult:
     @property
     def Z_corr(self) -> np.ndarray:
         """(d, N) corrected embedding (``getZcorr``)."""
-        return self._cells(np.asarray(self.state.Z_corr))
+        return self._cells(self.state.Z_corr)
 
     @property
     def Z_orig(self) -> np.ndarray:
-        return self._cells(np.asarray(self.state.Z_orig))
+        return self._cells(self.state.Z_orig)
 
     @property
     def Y(self) -> np.ndarray:
@@ -150,7 +168,7 @@ class HarmonyResult:
     @property
     def R(self) -> np.ndarray:
         """(K, N) soft assignments (``getR``)."""
-        return self._cells(np.asarray(self.state.R))
+        return self._cells(self.state.R)
 
     @property
     def O(self) -> np.ndarray:

@@ -173,6 +173,7 @@ def cluster(
     use_rotate = cfg.shuffle_mode == "rotate" and perms is None
     use_pallas_rotate = use_rotate and cfg.estep_impl == "pallas"
     use_stats_carry = use_pallas_rotate and cfg.rotate_stats_carry
+    sharded_pallas = use_stats_carry and mesh is not None
     use_permute_fused = (
         cfg.estep_impl == "pallas"
         and not use_rotate
@@ -572,19 +573,24 @@ def materialize_r(
     )
 
     codes_pad = make_codes_pad(cfg, state.codes)
+    # emit the engine dtype straight from the kernel: a separate f32
+    # intermediate + cast is 4 GB at the 10M bf16 BASELINE workload and
+    # pushed the run-end materialisation out of HBM
     if mesh is not None:
         R = sharded_materialize_r(
             cfg, mesh, state.virt_Y, state.sigma, state.virt_pen,
             state.virt_blkmap, state.virt_Zn, codes_pad,
             interpret=jax.default_backend() == "cpu",
+            out_dtype=state.R.dtype,
         )
     else:
         R = pallas_materialize_r(
             cfg, state.virt_Y, state.sigma, state.virt_pen,
             state.virt_blkmap, state.virt_Zn, codes_pad,
             interpret=jax.default_backend() == "cpu",
+            out_dtype=state.R.dtype,
         )
-    return dataclasses.replace(state, R=R.astype(state.R.dtype))
+    return dataclasses.replace(state, R=R)
 
 
 def harmony_converged(cfg: HarmonyConfig, state: HarmonyState) -> jnp.ndarray:
@@ -759,5 +765,7 @@ def make_engine(cfg: HarmonyConfig, codes=None, mesh=None) -> Engine:
         run_rounds=jit(run_rounds, donate=donate, segments=segments,
                        onehots=onehots, tiled=tiled, mesh=mesh),
         harmony_converged=jit(harmony_converged),
-        materialize_r=jit(materialize_r, mesh=mesh),
+        # donate at scale: the stale R buffer then frees before the
+        # kernel's new R allocates (the 10M bf16 workload needs it)
+        materialize_r=jit(materialize_r, donate=donate, mesh=mesh),
     )

@@ -1639,7 +1639,10 @@ def _materialize_r_kernel(
         Yt_ref[:], Zn_ref[:], codes_ref, pen, sigma_ref[:],
         inv2sig_ref[:], offsets=offsets, B=B, variant=variant,
     )
-    R_ref[:] = R_n
+    # cast in-kernel: emitting the engine dtype directly avoids a full
+    # (K, N) f32 intermediate + cast pass — at 10M cells bf16 that
+    # intermediate alone is 4 GB and OOMs the run-end materialisation
+    R_ref[:] = R_n.astype(R_ref.dtype)
 
 
 def pallas_materialize_r(
@@ -1651,10 +1654,12 @@ def pallas_materialize_r(
     Zn_pad: jnp.ndarray,  # (d, Npt)
     codes_pad: jnp.ndarray,  # (ncov, Npt)
     interpret: bool = False,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """The (K, Np) assignment matrix of the last clustering round, exactly
     as the round would have written it — runs once per run when the user
-    (or a checkpoint) needs R (getR parity, src/harmony.cpp:646-649)."""
+    (or a checkpoint) needs R (getR parity, src/harmony.cpp:646-649).
+    ``out_dtype`` (default f32) is cast per tile inside the kernel."""
     from functools import partial as _partial
 
     K, d, B = cfg.K, cfg.d, cfg.B
@@ -1687,7 +1692,7 @@ def pallas_materialize_r(
             variant=cfg.estep_variant,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((K, Npt), f32),
+        out_shape=jax.ShapeDtypeStruct((K, Npt), out_dtype or f32),
         interpret=interpret,
     )
     R = kernel(
@@ -1712,6 +1717,7 @@ def sharded_materialize_r(
     Zn_pad: jnp.ndarray,  # (d, Npt) cell-sharded
     codes_pad: jnp.ndarray,  # (ncov, Npt) cell-sharded
     interpret: bool = False,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """Run-end R materialisation on a cell-sharded mesh (see
     sharded_virtual_correction for the per-shard penalty argument)."""
@@ -1726,7 +1732,7 @@ def sharded_materialize_r(
         bm_local = bm_loc - jax.lax.axis_index(CELL_AXIS) * nb_loc
         return pallas_materialize_r(
             cfg, Y, sigma, pen_loc, bm_local, Zn_loc, codes_loc,
-            interpret=interpret,
+            interpret=interpret, out_dtype=out_dtype,
         )
 
     return shard_map(

@@ -13,6 +13,8 @@ import time
 
 import numpy as np
 
+from harmony_tpu.config import resolve_matmul_precision as _resolve_matmul_precision
+
 
 def bench_fn(fn, *args, iters=10, fetch=None):
     out = fn(*args)
@@ -97,7 +99,7 @@ def main():
     kk = jax.random.PRNGKey(1)
 
     def one_round(s, k):
-        with jax.default_matmul_precision(cfg.matmul_precision):
+        with jax.default_matmul_precision(_resolve_matmul_precision(cfg.dtype, cfg.matmul_precision)):
             if cfg.shuffle_mode == "rotate":
                 res = ops.rotate_update_round(
                     cfg, s.Z_corr, s.Y, s.R, s.E, s.O, s.codes, s.Pr_b,
@@ -139,7 +141,7 @@ def main():
     f32 = jnp.float32
 
     def moments(s):
-        with jax.default_matmul_precision(cfg.matmul_precision):
+        with jax.default_matmul_precision(_resolve_matmul_precision(cfg.dtype, cfg.matmul_precision)):
             R_eff = s.R.astype(f32)
             Zf = s.Z_orig.astype(f32)
             rhs0 = jnp.dot(R_eff, Zf.T, preferred_element_type=f32)
@@ -150,7 +152,7 @@ def main():
     print(f"  M-step moments (dense):          {t*1e3:8.2f} ms")
 
     def corr_only(s):
-        with jax.default_matmul_precision(cfg.matmul_precision):
+        with jax.default_matmul_precision(_resolve_matmul_precision(cfg.dtype, cfg.matmul_precision)):
             R_eff = s.R.astype(f32)
             onehots = [
                 jax.nn.one_hot(s.codes[c], cfg.B_vec[c], dtype=f32)
