@@ -58,6 +58,7 @@ def normalize_checkpoint_path(path: str) -> str:
 def save_checkpoint(
     path: str, cfg: HarmonyConfig, state: HarmonyState,
     mode: str = "minimal", meta: Optional[dict] = None,
+    compress: bool = False,
 ) -> None:
     """``meta`` persists run provenance the arrays cannot express — the
     ingest-shuffle recipe of rotate runs ({shuffle_mode, seed, tiled_tile});
@@ -86,9 +87,14 @@ def save_checkpoint(
     # protects against) must not truncate the previous good checkpoint.
     # Write to a temp file in the same directory and os.replace() it in.
     tmp = path + f".tmp.{os.getpid()}"
+    # compress=False by default: the bulk of a checkpoint is fp32/bf16
+    # embedding data that deflate barely shrinks, while the compression
+    # pass multiplies the per-round write wall at the default
+    # checkpoint_every=1 cadence
+    savez = np.savez_compressed if compress else np.savez
     try:
         with open(tmp, "wb") as fh:
-            np.savez_compressed(
+            savez(
                 fh,
                 __config__=np.frombuffer(cfg_json.encode(), dtype=np.uint8),
                 __mode__=np.array(mode),

@@ -315,11 +315,9 @@ def _permute_round_kernel(
     offsets: tuple,
     B: int,
     nbp: int,
-    write_r: bool,
     chunk: int,
 ):
     it = iter(rest)
-    R_out_ref = next(it) if write_r else None
     E_out_ref = next(it)
     O_out_ref = next(it)
     pen_out_ref = next(it)  # (nb, K, B) unblocked (VMEM-resident)
@@ -359,46 +357,59 @@ def _permute_round_kernel(
     e = jnp.exp(-d_t / sigma_ref[:])
     R1 = e / jnp.sum(e, axis=0, keepdims=True)
 
+    # op-lean forms (the chunk machinery only engages at large B, where
+    # the (nbp*B, T) temporaries would blow the kernel stack): the
+    # per-step op count, not arithmetic, bounds this kernel — every extra
+    # Mosaic op costs ~us against a ~10 us tile budget
     nch = max(1, T_t // chunk)
     Tc = T_t // nch
 
-    def oh_codes(sl):
-        """(B, Tc) multi-hot of the chunk's batch codes."""
-        b_iota = jax.lax.broadcasted_iota(jnp.int32, (B, Tc), 0)
+    def oh_codes(sl, Tw):
+        """(B, Tw) multi-hot of the slice's batch codes."""
+        b_iota = jax.lax.broadcasted_iota(jnp.int32, (B, Tw), 0)
         oh = None
         for c, off in enumerate(offsets):
             mc = (c_ref[c : c + 1, sl] + off == b_iota).astype(jnp.float32)
             oh = mc if oh is None else oh + mc
         return oh
 
-    def finish(sl, pc, oh):
+    def finish(sl, pc, oh, Tw):
         """Chain tail: penalise, re-normalise, mask; accumulate pending
-        stats; returns the chunk's assignments. Writes the chunk to the
-        R output in BOTH phases when one exists (phase 0's old values
-        are overwritten by phase 1's visit to the same block before its
-        final flush; writing keeps the buffer initialised)."""
+        stats; returns the slice's assignments. The round kernel never
+        writes R at all — an R output block would be visited by both
+        phases (non-consecutively), and a revisited Pallas output breaks
+        the grid pipeline (measured ~25x on the whole round); the phase
+        materialises R once at the end, in natural order."""
         R_n = R1[:, sl] * pc
         cs = jnp.sum(R_n, axis=0, keepdims=True)
         R_n = R_n / jnp.where(cs == 0.0, 1.0, cs)
         R_n = R_n * m_t[sl][None, :]
         pend_r_s[:] = pend_r_s[:] + jnp.sum(R_n, axis=1, keepdims=True)
+        if oh is None:
+            oh = oh_codes(sl, Tw)
         pend_O_s[:] = pend_O_s[:] + jax.lax.dot_general(
             R_n, oh, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        if write_r:
-            R_out_ref[:, sl] = R_n
         return R_n
+
+    full_sl = slice(0, T_t)
 
     @pl.when(p == 0)
     def _():
         # ---- recompute the block's CURRENT assignments from the carried
         # penalty tables; accumulate them as the to-remove statistics
-        # (src/harmony.cpp:312-313 without reading R)
+        # (src/harmony.cpp:312-313 without reading R). The penalty gather
+        # indexes (prev block, batch) jointly: a single
+        # (K, nbp*B) x (nbp*B, T) product per slice — exact (one 1 per
+        # covariate row, zeros elsewhere).
         for ci in range(nch):
-            sl = slice(ci * Tc, (ci + 1) * Tc)
+            sl = (
+                full_sl if nch == 1 else slice(ci * Tc, (ci + 1) * Tc)
+            )
+            Tw = T_t if nch == 1 else Tc
             jx_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (nbp * B, Tc), 0
+                jnp.int32, (nbp * B, Tw), 0
             )
             mh = None
             for c, off in enumerate(offsets):
@@ -407,8 +418,8 @@ def _permute_round_kernel(
                 mh = mc if mh is None else mh + mc
             pc = jnp.dot(
                 pen_prev_ref[:], mh, preferred_element_type=jnp.float32
-            )  # exact gather: one 1 per covariate row, zeros elsewhere
-            finish(sl, pc, oh_codes(sl))
+            )
+            finish(sl, pc, None, Tw)
 
     @pl.when((p == 0) & (j == nsub - 1))
     def _():
@@ -423,17 +434,42 @@ def _permute_round_kernel(
     @pl.when(p == 1)
     def _():
         # ---- assign against the block-removed stats
-        # (src/harmony.cpp:318-323) + objective accumulators
-        for ci in range(nch):
-            sl = slice(ci * Tc, (ci + 1) * Tc)
-            oh = oh_codes(sl)
-            pc = jnp.dot(
-                pen_s[:], oh, preferred_element_type=jnp.float32
-            )
-            R_n = finish(sl, pc, oh)
-            accv_s[0, 0] = accv_s[0, 0] + jnp.sum(R_n * d_t[:, sl])
+        # (src/harmony.cpp:318-323) + objective accumulators. At B <= 32
+        # the penalty gather is a select chain (the one-hot matmul pads B
+        # to 128 MXU lanes; see pallas_rotate._assign_tile) — identical
+        # bits, fewer/wider ops.
+        if B <= 32:
+            pen = pen_s[:]
+            pc = jnp.zeros((R1.shape[0], T_t), jnp.float32)
+            for c, off in enumerate(offsets):
+                crow = c_ref[c : c + 1, :] + off
+                width = (
+                    offsets[c + 1] if c + 1 < len(offsets) else B
+                ) - offsets[c]
+                for b in range(offsets[c], offsets[c] + width):
+                    pc = pc + pen[:, b][:, None] * (crow == b).astype(
+                        jnp.float32
+                    )
+            R_n = finish(full_sl, pc, None, T_t)
+            accv_s[0, 0] = accv_s[0, 0] + jnp.sum(R_n * d_t)
             xlogx = jnp.where(R_n > 0, R_n * jnp.log(R_n), 0.0)
             accv_s[0, 1] = accv_s[0, 1] + jnp.sum(sigma_ref[:] * xlogx)
+        else:
+            for ci in range(nch):
+                sl = (
+                    full_sl if nch == 1 else slice(ci * Tc, (ci + 1) * Tc)
+                )
+                Tw = T_t if nch == 1 else Tc
+                oh = oh_codes(sl, Tw)
+                pc = jnp.dot(
+                    pen_s[:], oh, preferred_element_type=jnp.float32
+                )
+                R_n = finish(sl, pc, oh, Tw)
+                accv_s[0, 0] = accv_s[0, 0] + jnp.sum(R_n * d_t[:, sl])
+                xlogx = jnp.where(R_n > 0, R_n * jnp.log(R_n), 0.0)
+                accv_s[0, 1] = accv_s[0, 1] + jnp.sum(
+                    sigma_ref[:] * xlogx
+                )
 
     @pl.when((p == 1) & (j == nsub - 1))
     def _():
@@ -444,6 +480,48 @@ def _permute_round_kernel(
         O_out_ref[:] = O_s[:]
         acc_ref[0, 0] = accv_s[0, 0]
         acc_ref[0, 1] = accv_s[0, 1]
+
+
+def _permute_materialize_kernel(
+    Yt_ref,  # (K, d)
+    Z_ref,  # (d, T) NATURAL-order tile
+    c_ref,  # (ncov, T)
+    blk_ref,  # (1, T) final-round block id per cell
+    m_ref,  # (1, T) validity (cell < N)
+    pen_ref,  # (K, nbp*B) final-round penalty tables (+ ones tail)
+    sigma_ref,  # (K, 1)
+    R_ref,  # (K, T) out
+    *,
+    offsets: tuple,
+    B: int,
+    nbp: int,
+    chunk: int,
+):
+    """R of the phase's final round, recomputed in NATURAL cell order —
+    the same per-column chain as the round kernel (bit-identical per
+    cell), so no (K, N) scatter pass ever runs."""
+    Z_t = Z_ref[:]
+    T_t = Z_t.shape[1]
+    g = jnp.dot(Yt_ref[:], Z_t, preferred_element_type=jnp.float32)
+    e = jnp.exp(-(2.0 * (1.0 - g)) / sigma_ref[:])
+    R1 = e / jnp.sum(e, axis=0, keepdims=True)
+    m_t = m_ref[0, :]
+    nch = max(1, T_t // chunk)
+    Tc = T_t // nch
+    for ci in range(nch):
+        sl = slice(0, T_t) if nch == 1 else slice(ci * Tc, (ci + 1) * Tc)
+        Tw = T_t if nch == 1 else Tc
+        jx_iota = jax.lax.broadcasted_iota(jnp.int32, (nbp * B, Tw), 0)
+        mh = None
+        for c, off in enumerate(offsets):
+            jidx = blk_ref[0:1, sl] * B + (c_ref[c : c + 1, sl] + off)
+            mc = (jidx == jx_iota).astype(jnp.float32)
+            mh = mc if mh is None else mh + mc
+        pc = jnp.dot(pen_ref[:], mh, preferred_element_type=jnp.float32)
+        R_n = R1[:, sl] * pc
+        cs = jnp.sum(R_n, axis=0, keepdims=True)
+        R_n = R_n / jnp.where(cs == 0.0, 1.0, cs)
+        R_ref[:, sl] = R_n * m_t[sl][None, :]
 
 
 def pallas_permute_phase(
@@ -478,9 +556,11 @@ def pallas_permute_phase(
     f32 = jnp.float32
     rounds = int(perms.shape[0])
 
-    # chunk so the (nbp*B, chunk) multi-hot temporary stays ~<= 2 MB
+    # chunk only when the (nbp*B, T) joint multi-hot temporary would
+    # blow the kernel stack (~<= 4.5 MB keeps B <= ~25 at T=4096 full
+    # width; large-B permute runs chunk)
     chunk = sub_tile
-    while chunk > 256 and nbp * B * chunk * 4 > 2 * 2**20:
+    while chunk > 256 and nbp * B * chunk * 4 > 4608 * 2**10:
         chunk //= 2
 
     Zf = Z.astype(f32)
@@ -489,8 +569,6 @@ def pallas_permute_phase(
     blk_nat = jnp.full((Np,), nb, jnp.int32)  # sentinel: ones row
     E_c, O_c = E.astype(f32), O.astype(f32)
     E_list, O_list, kerr_list, ent_list = [], [], [], []
-    R_lay = None
-    last_pos = None
 
     pad1 = lambda X: jnp.concatenate(
         [X, jnp.zeros((*X.shape[:-1], 1), X.dtype)], axis=-1
@@ -515,21 +593,13 @@ def pallas_permute_phase(
             [blk_nat, jnp.full((1,), nb, jnp.int32)]
         )[flat_idx][None, :]
 
-        write_r = r == rounds - 1
         T = sub_tile
         grid = (nb, 2, nsub)
 
         def lin(i, p, j):
             return i * nsub + j
 
-        out_specs = []
-        out_shape = []
-        if write_r:
-            out_specs.append(
-                pl.BlockSpec((K, T), lambda i, p, j: (0, lin(i, p, j)))
-            )
-            out_shape.append(jax.ShapeDtypeStruct((K, L), f32))
-        out_specs += [
+        out_specs = [
             pl.BlockSpec((K, B), lambda i, p, j: (0, 0)),  # E_out
             pl.BlockSpec((K, B), lambda i, p, j: (0, 0)),  # O_out
             pl.BlockSpec(  # pen_out: unblocked, stays VMEM-resident
@@ -539,7 +609,7 @@ def pallas_permute_phase(
                 (1, 2), lambda i, p, j: (0, 0), memory_space=pltpu.SMEM
             ),
         ]
-        out_shape += [
+        out_shape = [
             jax.ShapeDtypeStruct((K, B), f32),
             jax.ShapeDtypeStruct((K, B), f32),
             jax.ShapeDtypeStruct((nb, K, B), f32),
@@ -551,7 +621,7 @@ def pallas_permute_phase(
         kernel = pl.pallas_call(
             partial(
                 _permute_round_kernel,
-                offsets=offsets, B=B, nbp=nbp, write_r=write_r,
+                offsets=offsets, B=B, nbp=nbp,
                 chunk=chunk,
             ),
             grid=grid,
@@ -588,20 +658,12 @@ def pallas_permute_phase(
             ],
             interpret=interpret,
         )
-        outs = kernel(
+        E_c, O_c, pen_out, acc = kernel(
             Yt, Z_lay, c_lay, blk_lay, mf,
             pen_prev, E_c, O_c,
             Pr_b.astype(f32)[None, :], sigma.astype(f32)[:, None],
             theta.astype(f32)[None, :],
         )
-        if write_r:
-            R_lay, E_c, O_c, pen_out, acc = outs
-            pos = jnp.full((Np + 1,), L, dtype=jnp.int32)
-            last_pos = pos.at[flat_idx].set(
-                jnp.arange(L, dtype=jnp.int32)
-            )
-        else:
-            E_c, O_c, pen_out, acc = outs
         # next round's carried context
         pen_prev = jnp.concatenate(
             [
@@ -621,8 +683,44 @@ def pallas_permute_phase(
         kerr_list.append(acc[0, 0])
         ent_list.append(acc[0, 1])
 
-    R_flat = jnp.concatenate([R_lay, jnp.zeros((K, 1), f32)], axis=1)
-    R_nat = R_flat[:, last_pos[:Np]]
+    # materialise the final round's R once, in NATURAL order — no layout
+    # write, no scatter (both measured pathological: a revisited Pallas
+    # output block serialises the whole grid)
+    from functools import partial
+
+    T = sub_tile
+    Npt = -(-Np // T) * T
+    NT = Npt // T
+    padT = lambda X: (
+        X if X.shape[-1] == Npt else jnp.concatenate(
+            [X, jnp.zeros((*X.shape[:-1], Npt - X.shape[-1]), X.dtype)],
+            axis=-1,
+        )
+    )
+    valid_nat = (jnp.arange(Npt) < cfg.N).astype(f32)[None, :]
+    mat = pl.pallas_call(
+        partial(
+            _permute_materialize_kernel,
+            offsets=offsets, B=B, nbp=nbp, chunk=chunk,
+        ),
+        grid=(NT,),
+        in_specs=[
+            pl.BlockSpec((K, d), lambda s_: (0, 0)),
+            pl.BlockSpec((d, T), lambda s_: (0, s_)),
+            pl.BlockSpec((codes.shape[0], T), lambda s_: (0, s_)),
+            pl.BlockSpec((1, T), lambda s_: (0, s_)),
+            pl.BlockSpec((1, T), lambda s_: (0, s_)),
+            pl.BlockSpec((K, nbp * B), lambda s_: (0, 0)),
+            pl.BlockSpec((K, 1), lambda s_: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((K, T), lambda s_: (0, s_)),
+        out_shape=jax.ShapeDtypeStruct((K, Npt), f32),
+        interpret=interpret,
+    )
+    R_nat = mat(
+        Yt, padT(Zf), padT(codes), padT(blk_nat[None, :]),
+        padT(valid_nat), pen_prev, sigma.astype(f32)[:, None],
+    )[:, :Np]
     return PermutePhaseResult(
         R=R_nat,
         E=E_c,

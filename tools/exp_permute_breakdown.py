@@ -130,6 +130,29 @@ def main():
         )
         return res.R
 
+    from harmony_tpu.ops.pallas_estep import pallas_permute_phase
+
+    perms1 = perm[None, :]
+    perms4 = jnp.stack([perm, perm, perm, perm])
+
+    def f_phase1(x):
+        out = pallas_permute_phase(
+            cfg, Zn, Yn, E0, O0, codes, Pr_b, sigma, theta, perms1
+        )
+        return out.R + x * 1e-20
+
+    def f_phase4(x):
+        out = pallas_permute_phase(
+            cfg, Zn, Yn, E0, O0, codes, Pr_b, sigma, theta, perms4
+        )
+        return out.R + x * 1e-20
+
+    def f_perm_sort(x):
+        p = jax.random.permutation(
+            jax.random.fold_in(key, x[0, 0].astype(jnp.int32)), N
+        )
+        return x + p[0].astype(jnp.float32) * 1e-20
+
     def reps_fn(f, n):
         def body(x, _):
             return f(x), None
@@ -142,6 +165,7 @@ def main():
 
     cases = [
         ("perm_draw", f_perm, 16),
+        ("perm_sort", f_perm_sort, 16),
         ("gather_R", f_gather_R, 16),
         ("gather_Z", f_gather_Z, 16),
         ("oh_build", f_oh, 16),
@@ -149,6 +173,8 @@ def main():
         ("scatter", f_scatter, 16),
         ("round_pallas", f_round_pallas, args.reps),
         ("round_xla", f_round_xla, args.reps),
+        ("fused_phase1", f_phase1, args.reps),
+        ("fused_phase4", f_phase4, args.reps),
     ]
     for name, f, n_hi in cases:
         lo_f, hi_f = reps_fn(f, 2), reps_fn(f, n_hi)
