@@ -436,7 +436,17 @@ def run_harmony(
         # sharded even when --mesh is not re-passed
         "mesh_size": 0 if mesh is None else int(mesh.size),
     }
-    if shuffle_mode == "rotate":
+    # 'permute' runs benefit from the same batch-tiled ingest: the E-step
+    # re-permutes cells every round regardless of base order (so the
+    # reference's uniform-random schedule is preserved verbatim), while
+    # the M-step then rides the zero-gather tiled path instead of the
+    # dense one-hot contractions. Parity-pinned runs (injected init_Y)
+    # keep the caller's cell order byte-stable.
+    if shuffle_mode == "rotate" or (
+        shuffle_mode == "permute"
+        and init_Y is None
+        and cfg.estep_impl == "pallas"
+    ):
         from .ops.tiled import (
             build_batch_tiled_order, choose_tiled_tile, count_joint_levels,
         )
@@ -453,15 +463,22 @@ def run_harmony(
             )
         if tiled_t:
             perm, _ = build_batch_tiled_order(design.codes, tiled_t, seed)
-        else:
+        elif shuffle_mode == "rotate":
             perm = np.random.default_rng(seed).permutation(N)
+        else:
+            # permute draws a fresh uniform permutation per round; with no
+            # tiled layout to gain there is nothing to reorder at ingest
+            perm = None
         # checkpoint provenance: the ingest order is deterministic in
         # (seed, tile width), so a crash-recovery resume rebuilds it from
         # the original inputs (cli._resume_run)
         ckpt_meta["tiled_tile"] = int(tiled_t or 0)
-        ingest_inv = np.argsort(perm)
-        Z = Z[:, perm]
-        design = dataclasses.replace(design, codes=design.codes[:, perm])
+        if perm is not None:
+            ingest_inv = np.argsort(perm)
+            Z = Z[:, perm]
+            design = dataclasses.replace(
+                design, codes=design.codes[:, perm]
+            )
 
     hp = expand_hyperparams(
         design, cfg.K, theta, sigma, lamb, options.tau, verbose=verbose

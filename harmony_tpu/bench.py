@@ -181,7 +181,10 @@ def run_bench(
 
     tiled_t = None
     if (
-        cfg.shuffle_mode == "rotate"
+        # permute re-permutes every round regardless of base order, so the
+        # tiled ingest is schedule-neutral there too and buys the
+        # zero-gather M-step (same choice api.run_harmony makes)
+        cfg.shuffle_mode in ("rotate", "permute")
         and cfg.estep_impl == "pallas"
         and cfg.mstep_impl != "pallas"
         and cfg.mstep_mode in ("auto", "tiled")

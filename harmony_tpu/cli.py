@@ -59,13 +59,16 @@ def _resume_run(args, Z, meta) -> np.ndarray:
     ckpt_meta = read_checkpoint_meta(args.checkpoint)
     orig_mesh_size = int(ckpt_meta.get("mesh_size", 0))
     ingest_inv = None
-    if ckpt_meta.get("shuffle_mode") == "rotate":
+    ck_shuffle = ckpt_meta.get("shuffle_mode")
+    ck_tile = int(ckpt_meta.get("tiled_tile", 0))
+    # permute runs reorder at ingest only when a tiled layout was chosen
+    # (api.run_harmony); rotate runs always shuffle (tiled or random)
+    if ck_shuffle == "rotate" or (ck_shuffle == "permute" and ck_tile):
         seed = int(ckpt_meta.get("seed", 0))
-        tile = int(ckpt_meta.get("tiled_tile", 0))
-        if tile:
+        if ck_tile:
             from .ops.tiled import build_batch_tiled_order
 
-            perm, _ = build_batch_tiled_order(design.codes, tile, seed)
+            perm, _ = build_batch_tiled_order(design.codes, ck_tile, seed)
         else:
             perm = np.random.default_rng(seed).permutation(design.n_cells)
         ingest_inv = np.argsort(perm)

@@ -57,13 +57,22 @@ def make_blocks(
     index N (a padded trash column).
     """
     nb, cpb, smax = cfg.n_blocks, cfg.cells_per_block, cfg.max_block_size
-    starts = jnp.arange(nb, dtype=jnp.int32) * cpb
     sizes = jnp.full((nb,), cpb, dtype=jnp.int32).at[nb - 1].set(
         cfg.last_block_size
     )
     pos = jnp.arange(smax, dtype=jnp.int32)
-    grid = starts[:, None] + pos[None, :]
     valid = pos[None, :] < sizes[:, None]
-    safe = jnp.clip(grid, 0, cfg.N - 1)
-    cell_idx = jnp.where(valid, perm[safe], cfg.Np)
+    # Blocks are contiguous windows of the permutation at static starts
+    # i*cpb; because smax = cpb + remainder and the last start is
+    # (nb-1)*cpb, every window ends within [0, N] — static slices, no
+    # general gather (a (nb, smax) gather measures ~3 ms at 500k on v5e;
+    # the slices are plain copies).
+    p32 = perm.astype(jnp.int32)
+    rows = jnp.stack(
+        [
+            jax.lax.dynamic_slice_in_dim(p32, i * cpb, smax)
+            for i in range(nb)
+        ]
+    )
+    cell_idx = jnp.where(valid, rows, cfg.Np)
     return cell_idx, valid

@@ -568,120 +568,137 @@ def pallas_permute_phase(
     pen_prev = jnp.ones((K, nbp * B), f32)
     blk_nat = jnp.full((Np,), nb, jnp.int32)  # sentinel: ones row
     E_c, O_c = E.astype(f32), O.astype(f32)
-    E_list, O_list, kerr_list, ent_list = [], [], [], []
 
     pad1 = lambda X: jnp.concatenate(
         [X, jnp.zeros((*X.shape[:-1], 1), X.dtype)], axis=-1
     )
 
-    for r in range(rounds):
-        idx, mask = make_blocks(cfg, perms[r])  # (nb, S)
-        S = idx.shape[1]
-        nsub = max(1, -(-S // sub_tile))
-        S_pad = nsub * sub_tile
+    # All rounds share one static shape set (S = cfg.max_block_size), so
+    # the round loop is a lax.scan over the per-round permutations. The
+    # scan structure matters for performance, not just compile time: with
+    # the rounds unrolled into one flat computation, XLA's scheduler
+    # interleaves the rounds' independent layout gathers and the
+    # per-round prep measured ~5x slower than the identical expressions
+    # inside a loop body (tools/exp_permute_engine.py vs
+    # exp_round_fresh.py on v5e).
+    S = cfg.max_block_size
+    nsub = max(1, -(-S // sub_tile))
+    S_pad = nsub * sub_tile
+    L = nb * S_pad
+    T = sub_tile
+    grid = (nb, 2, nsub)
+
+    def lin(i, p, j):
+        return i * nsub + j
+
+    out_specs = [
+        pl.BlockSpec((K, B), lambda i, p, j: (0, 0)),  # E_out
+        pl.BlockSpec((K, B), lambda i, p, j: (0, 0)),  # O_out
+        pl.BlockSpec(  # pen_out: unblocked, stays VMEM-resident
+            (nb, K, B), lambda i, p, j: (0, 0, 0)
+        ),
+        pl.BlockSpec(
+            (1, 2), lambda i, p, j: (0, 0), memory_space=pltpu.SMEM
+        ),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((K, B), f32),
+        jax.ShapeDtypeStruct((K, B), f32),
+        jax.ShapeDtypeStruct((nb, K, B), f32),
+        jax.ShapeDtypeStruct((1, 2), f32),
+    ]
+
+    from functools import partial
+
+    kernel = pl.pallas_call(
+        partial(
+            _permute_round_kernel,
+            offsets=offsets, B=B, nbp=nbp,
+            chunk=chunk,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((K, d), lambda i, p, j: (0, 0)),  # Yt
+            pl.BlockSpec(
+                (d, T), lambda i, p, j: (0, lin(i, p, j))
+            ),  # Z
+            pl.BlockSpec(
+                (codes.shape[0], T), lambda i, p, j: (0, lin(i, p, j))
+            ),  # codes
+            pl.BlockSpec(
+                (1, T), lambda i, p, j: (0, lin(i, p, j))
+            ),  # blk
+            pl.BlockSpec(
+                (1, T), lambda i, p, j: (0, lin(i, p, j))
+            ),  # mask
+            pl.BlockSpec((K, nbp * B), lambda i, p, j: (0, 0)),
+            pl.BlockSpec((K, B), lambda i, p, j: (0, 0)),  # E_in
+            pl.BlockSpec((K, B), lambda i, p, j: (0, 0)),  # O_in
+            pl.BlockSpec((1, B), lambda i, p, j: (0, 0)),  # Pr
+            pl.BlockSpec((K, 1), lambda i, p, j: (0, 0)),  # sigma
+            pl.BlockSpec((1, B), lambda i, p, j: (0, 0)),  # theta
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((K, B), f32),  # E_s
+            pltpu.VMEM((K, B), f32),  # O_s
+            pltpu.VMEM((K, B), f32),  # pen_s
+            pltpu.VMEM((K, 1), f32),  # pend_r
+            pltpu.VMEM((K, B), f32),  # pend_O
+            pltpu.SMEM((1, 2), f32),  # accv
+        ],
+        interpret=interpret,
+    )
+
+    Zp = pad1(Zf)
+    cp = pad1(codes)
+    Prr = Pr_b.astype(f32)[None, :]
+    sig = sigma.astype(f32)[:, None]
+    th = theta.astype(f32)[None, :]
+    slot_blk = jnp.arange(L, dtype=jnp.int32) // jnp.int32(S_pad)
+
+    def round_body(carry, perm_r):
+        pen_prev, blk_nat, E_c, O_c = carry
+        idx, mask = make_blocks(cfg, perm_r)  # (nb, S)
         if S_pad != S:
             padw = ((0, 0), (0, S_pad - S))
             idx = jnp.pad(idx, padw, constant_values=Np)
             mask = jnp.pad(mask, padw, constant_values=False)
-        L = nb * S_pad
         flat_idx = idx.reshape(-1)
         mf = mask.astype(f32).reshape(1, L)
 
-        Z_lay = pad1(Zf)[:, flat_idx]
-        c_lay = pad1(codes)[:, flat_idx]
+        Z_lay = Zp[:, flat_idx]
+        c_lay = cp[:, flat_idx]
         blk_lay = jnp.concatenate(
             [blk_nat, jnp.full((1,), nb, jnp.int32)]
         )[flat_idx][None, :]
 
-        T = sub_tile
-        grid = (nb, 2, nsub)
-
-        def lin(i, p, j):
-            return i * nsub + j
-
-        out_specs = [
-            pl.BlockSpec((K, B), lambda i, p, j: (0, 0)),  # E_out
-            pl.BlockSpec((K, B), lambda i, p, j: (0, 0)),  # O_out
-            pl.BlockSpec(  # pen_out: unblocked, stays VMEM-resident
-                (nb, K, B), lambda i, p, j: (0, 0, 0)
-            ),
-            pl.BlockSpec(
-                (1, 2), lambda i, p, j: (0, 0), memory_space=pltpu.SMEM
-            ),
-        ]
-        out_shape = [
-            jax.ShapeDtypeStruct((K, B), f32),
-            jax.ShapeDtypeStruct((K, B), f32),
-            jax.ShapeDtypeStruct((nb, K, B), f32),
-            jax.ShapeDtypeStruct((1, 2), f32),
-        ]
-
-        from functools import partial
-
-        kernel = pl.pallas_call(
-            partial(
-                _permute_round_kernel,
-                offsets=offsets, B=B, nbp=nbp,
-                chunk=chunk,
-            ),
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((K, d), lambda i, p, j: (0, 0)),  # Yt
-                pl.BlockSpec(
-                    (d, T), lambda i, p, j: (0, lin(i, p, j))
-                ),  # Z
-                pl.BlockSpec(
-                    (c_lay.shape[0], T), lambda i, p, j: (0, lin(i, p, j))
-                ),  # codes
-                pl.BlockSpec(
-                    (1, T), lambda i, p, j: (0, lin(i, p, j))
-                ),  # blk
-                pl.BlockSpec(
-                    (1, T), lambda i, p, j: (0, lin(i, p, j))
-                ),  # mask
-                pl.BlockSpec((K, nbp * B), lambda i, p, j: (0, 0)),
-                pl.BlockSpec((K, B), lambda i, p, j: (0, 0)),  # E_in
-                pl.BlockSpec((K, B), lambda i, p, j: (0, 0)),  # O_in
-                pl.BlockSpec((1, B), lambda i, p, j: (0, 0)),  # Pr
-                pl.BlockSpec((K, 1), lambda i, p, j: (0, 0)),  # sigma
-                pl.BlockSpec((1, B), lambda i, p, j: (0, 0)),  # theta
-            ],
-            out_specs=out_specs,
-            out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.VMEM((K, B), f32),  # E_s
-                pltpu.VMEM((K, B), f32),  # O_s
-                pltpu.VMEM((K, B), f32),  # pen_s
-                pltpu.VMEM((K, 1), f32),  # pend_r
-                pltpu.VMEM((K, B), f32),  # pend_O
-                pltpu.SMEM((1, 2), f32),  # accv
-            ],
-            interpret=interpret,
-        )
-        E_c, O_c, pen_out, acc = kernel(
-            Yt, Z_lay, c_lay, blk_lay, mf,
-            pen_prev, E_c, O_c,
-            Pr_b.astype(f32)[None, :], sigma.astype(f32)[:, None],
-            theta.astype(f32)[None, :],
+        E_n, O_n, pen_out, acc = kernel(
+            Yt, Z_lay, c_lay, blk_lay, mf, pen_prev, E_c, O_c,
+            Prr, sig, th,
         )
         # next round's carried context
-        pen_prev = jnp.concatenate(
+        pen_next = jnp.concatenate(
             [
                 jnp.transpose(pen_out, (1, 0, 2)).reshape(K, nb * B),
                 jnp.ones((K, B), f32),
             ],
             axis=1,
         )
-        slot_blk = (
-            jnp.arange(L, dtype=jnp.int32) // jnp.int32(S_pad)
-        )
-        blk_nat = (
+        blk_next = (
             jnp.zeros((Np + 1,), jnp.int32).at[flat_idx].set(slot_blk)
         )[:Np]
-        E_list.append(E_c)
-        O_list.append(O_c)
-        kerr_list.append(acc[0, 0])
-        ent_list.append(acc[0, 1])
+        return (
+            (pen_next, blk_next, E_n, O_n),
+            (E_n, O_n, acc[0, 0], acc[0, 1]),
+        )
+
+    (pen_prev, blk_nat, E_c, O_c), (E_st, O_st, kerr_st, ent_st) = (
+        jax.lax.scan(
+            round_body, (pen_prev, blk_nat, E_c, O_c), perms
+        )
+    )
 
     # materialise the final round's R once, in NATURAL order — no layout
     # write, no scatter (both measured pathological: a revisited Pallas
@@ -725,8 +742,8 @@ def pallas_permute_phase(
         R=R_nat,
         E=E_c,
         O=O_c,
-        E_rounds=jnp.stack(E_list),
-        O_rounds=jnp.stack(O_list),
-        kmeans_error=jnp.stack(kerr_list),
-        entropy=jnp.stack(ent_list),
+        E_rounds=E_st,
+        O_rounds=O_st,
+        kmeans_error=kerr_st,
+        entropy=ent_st,
     )

@@ -51,6 +51,36 @@ def test_default_auto_reproduces_permute_small():
     assert res_auto.ingest_inv is None  # permute does not ingest-shuffle
 
 
+def test_permute_pallas_rides_tiled_ingest(monkeypatch):
+    """shuffle_mode='permute' + estep_impl='pallas' reorders cells at
+    ingest into the batch-tiled layout (when the tile chooser accepts the
+    shape) so the M-step rides the zero-gather tiled path — the permute
+    schedule itself is ingest-order-neutral because every round draws a
+    fresh uniform permutation (src/harmony.cpp:272-273). Outputs unmap to
+    the caller's cell order via ingest_inv."""
+    import harmony_tpu.ops.tiled as tiled_mod
+
+    monkeypatch.setattr(
+        tiled_mod, "choose_tiled_tile",
+        lambda cfg, nj, n_shards=1: 128,
+    )
+    rng = np.random.default_rng(7)
+    N, d = 4096, 8
+    Z = rng.standard_normal((N, d)).astype(np.float32)
+    meta = {"dataset": rng.integers(0, 2, N)}
+    res = run_harmony(
+        Z, meta, ["dataset"], nclust=6, max_iter=2, seed=0,
+        shuffle_mode="permute", estep_impl="pallas", return_object=True,
+    )
+    assert res.ingest_inv is not None
+    assert res._tiled_layout() is not None  # M-step took the tiled path
+    # cell-indexed outputs are back in the caller's order
+    np.testing.assert_allclose(res.Z_orig, Z.T, rtol=0, atol=1e-5)
+    assert np.isfinite(res.embeddings).all()
+    obj = res.objective_harmony
+    assert obj[-1] < obj[0]
+
+
 def test_result_timers_populated():
     """HarmonyResult.phase_seconds(): the driver's live phase timers (the
     reference's ~20 hot scopes, src/harmony.cpp:302-335 — here one scope
