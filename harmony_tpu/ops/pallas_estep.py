@@ -658,6 +658,16 @@ def pallas_permute_phase(
     th = theta.astype(f32)[None, :]
     slot_blk = jnp.arange(L, dtype=jnp.int32) // jnp.int32(S_pad)
 
+    # ONE combined gather per round. Gathering Z, the codes and the
+    # previous-round block ids separately costs ~15 ms EACH at 500k on
+    # v5e — the per-gather overhead dominates, not the bytes (the 1-row
+    # block-id gather costs the same as the 51-row Z gather) — while one
+    # (d+ncov+1, L) gather from a stacked table costs ~6 ms total
+    # (tools/exp_phase_ablate.py). Codes and block ids ride as f32 rows
+    # (exact: both are small ints) and cast back for the kernel.
+    ncov = codes.shape[0]
+    tbl_zc = jnp.concatenate([Zp, cp.astype(f32)], axis=0)
+
     def round_body(carry, perm_r):
         pen_prev, blk_nat, E_c, O_c = carry
         idx, mask = make_blocks(cfg, perm_r)  # (nb, S)
@@ -668,11 +678,13 @@ def pallas_permute_phase(
         flat_idx = idx.reshape(-1)
         mf = mask.astype(f32).reshape(1, L)
 
-        Z_lay = Zp[:, flat_idx]
-        c_lay = cp[:, flat_idx]
-        blk_lay = jnp.concatenate(
+        blk_row = jnp.concatenate(
             [blk_nat, jnp.full((1,), nb, jnp.int32)]
-        )[flat_idx][None, :]
+        ).astype(f32)[None, :]
+        lay = jnp.concatenate([tbl_zc, blk_row], axis=0)[:, flat_idx]
+        Z_lay = lay[:d]
+        c_lay = lay[d : d + ncov].astype(jnp.int32)
+        blk_lay = lay[d + ncov :].astype(jnp.int32)
 
         E_n, O_n, pen_out, acc = kernel(
             Yt, Z_lay, c_lay, blk_lay, mf, pen_prev, E_c, O_c,

@@ -115,6 +115,18 @@ def build_phase(cfg, skip, rounds):
         blk_nat = jnp.full((Np,), nb, jnp.int32)
         E_c, O_c = E0, O0
 
+        ncov = codes.shape[0]
+        W = d + ncov + 1
+        tbl_base = jnp.concatenate(
+            [
+                Zp,
+                cp.astype(f32),
+                jnp.zeros((1, Np + 1), f32),
+            ],
+            axis=0,
+        )  # (W, Np+1); last row rewritten with blk per round
+        tblT_base = tbl_base.T  # (Np+1, W) row-major variant
+
         def round_body(carry, perm_r):
             pen_prev, blk_nat, E_c, O_c = carry
             idx, mask = make_blocks(cfg, perm_r)
@@ -124,6 +136,65 @@ def build_phase(cfg, skip, rounds):
                 mask = jnp.pad(mask, padw, constant_values=False)
             flat_idx = idx.reshape(-1)
             mf = mask.astype(f32).reshape(1, L)
+            if "table" in skip:
+                blk_row = jnp.concatenate(
+                    [blk_nat, jnp.full((1,), nb, jnp.int32)]
+                ).astype(f32)[None, :]
+                tbl = jnp.concatenate([tbl_base[:-1], blk_row], axis=0)
+                lay = tbl[:, flat_idx]  # ONE (W, L) gather
+                Z_lay = lay[:d]
+                c_lay = lay[d : d + ncov].astype(jnp.int32)
+                blk_lay = lay[d + ncov :].astype(jnp.int32)
+                E_n, O_n, pen_out, acc = kernel(
+                    Yt, Z_lay, c_lay, blk_lay, mf, pen_prev, E_c, O_c,
+                    Prr, sig, th,
+                )
+                pen_next = jnp.concatenate(
+                    [
+                        jnp.transpose(pen_out, (1, 0, 2)).reshape(
+                            K, nb * B
+                        ),
+                        jnp.ones((K, B), f32),
+                    ],
+                    axis=1,
+                )
+                blk_next = (
+                    jnp.zeros((Np + 1,), jnp.int32)
+                    .at[flat_idx]
+                    .set(slot_blk)
+                )[:Np]
+                return ((pen_next, blk_next, E_n, O_n), (acc[0, 0],))
+            if "rowtable" in skip:
+                blk_row = jnp.concatenate(
+                    [blk_nat, jnp.full((1,), nb, jnp.int32)]
+                ).astype(f32)[:, None]
+                tblT = jnp.concatenate(
+                    [tblT_base[:, :-1], blk_row], axis=1
+                )
+                layT = tblT[flat_idx, :]  # ONE (L, W) row gather
+                lay = layT.T
+                Z_lay = lay[:d]
+                c_lay = lay[d : d + ncov].astype(jnp.int32)
+                blk_lay = lay[d + ncov :].astype(jnp.int32)
+                E_n, O_n, pen_out, acc = kernel(
+                    Yt, Z_lay, c_lay, blk_lay, mf, pen_prev, E_c, O_c,
+                    Prr, sig, th,
+                )
+                pen_next = jnp.concatenate(
+                    [
+                        jnp.transpose(pen_out, (1, 0, 2)).reshape(
+                            K, nb * B
+                        ),
+                        jnp.ones((K, B), f32),
+                    ],
+                    axis=1,
+                )
+                blk_next = (
+                    jnp.zeros((Np + 1,), jnp.int32)
+                    .at[flat_idx]
+                    .set(slot_blk)
+                )[:Np]
+                return ((pen_next, blk_next, E_n, O_n), (acc[0, 0],))
             if "z" in skip:
                 Z_lay = jax.lax.dynamic_slice_in_dim(
                     jnp.tile(Zp, (1, (L // Zp.shape[1]) + 1)), 0, L, axis=1
@@ -234,7 +305,7 @@ def main():
     ap.add_argument("--nclust", type=int, default=100)
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--reps", type=int, default=8)
-    args = ap.parse_args()
+    args, extra = ap.parse_known_args()
 
     import jax
     import jax.numpy as jnp
@@ -309,12 +380,21 @@ def main():
         per = float(np.median(deltas)) if deltas else float("nan")
         print(f"{name:10s}: {per*1e3:8.2f} ms/phase", flush=True)
 
-    measure("full", frozenset())
-    measure("nomat", frozenset({"mat"}))
-    measure("noblk", frozenset({"blk"}))
-    measure("nocode", frozenset({"code"}))
-    measure("noz", frozenset({"z", "code", "blk"}))
-    measure("nokernel", frozenset({"kernel"}))
+    only = set(a for a in extra if not a.startswith("-"))
+    variants = [
+        ("full", frozenset()),
+        ("nomat", frozenset({"mat"})),
+        ("noblk", frozenset({"blk"})),
+        ("nocode", frozenset({"code"})),
+        ("noz", frozenset({"z", "code", "blk"})),
+        ("nokernel", frozenset({"kernel"})),
+        ("table", frozenset({"table"})),
+        ("rowtable", frozenset({"rowtable"})),
+    ]
+    for name, skip in variants:
+        if only and name not in only:
+            continue
+        measure(name, skip)
 
 
 if __name__ == "__main__":
