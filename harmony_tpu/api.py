@@ -35,7 +35,7 @@ from .state import HarmonyState, init_state
 
 # Below this many cells the reference-exact 'permute' schedule is cheap
 # enough that auto mode keeps it (bit-comparable trajectories); above it
-# the zero-gather 'rotate' schedule is ~35x faster and statistically
+# the zero-gather 'rotate' schedule is ~16x faster and statistically
 # equivalent (PERFORMANCE.md), which is what a production-scale run wants.
 AUTO_ROTATE_MIN_CELLS = 100_000
 
@@ -60,8 +60,8 @@ def _resolve_shuffle_mode(
 
             logging.getLogger("harmony_tpu").info(
                 "shuffle_mode='permute' at %d cells: the reference-exact "
-                "schedule gathers the full (K, N) state per round; "
-                "shuffle_mode='rotate' (or 'auto') is ~35x faster at this "
+                "schedule re-permutes the cell layout every round; "
+                "shuffle_mode='rotate' (or 'auto') is ~16x faster at this "
                 "scale and statistically equivalent (PERFORMANCE.md)",
                 n_cells,
             )

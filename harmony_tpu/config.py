@@ -376,21 +376,38 @@ def finalize_engine_config(cfg: HarmonyConfig, mesh=None) -> HarmonyConfig:
 
     n_shards = 1 if mesh is None else mesh.size
     if cfg.estep_impl == "auto":
-        use_pallas = (
-            cfg.shuffle_mode == "rotate"
-            # only the stats-carry kernel has a sharded wrapper
-            and (mesh is None or cfg.rotate_stats_carry)
-            and _jax.default_backend() == "tpu"
-            # The tile-rotate kernel quantises blocks to cell tiles (>=128
-            # cells each). Below n_blocks*128 cells it cannot express the
-            # reference's block count — at the extreme a single block,
-            # which removes the whole dataset from E/O and so nullifies
-            # the diversity penalty within each round. Small runs use the
-            # exact cell-granular XLA schedule instead. On a mesh the
-            # kernels run per shard (ops/pallas_rotate.py sharded
-            # wrappers), so the bound applies to the shard-local cells.
-            and cfg.Np // n_shards >= cfg.n_blocks * 128
-        )
+        if cfg.shuffle_mode == "rotate":
+            use_pallas = (
+                # only the stats-carry kernel has a sharded wrapper
+                (mesh is None or cfg.rotate_stats_carry)
+                and _jax.default_backend() == "tpu"
+                # The tile-rotate kernel quantises blocks to cell tiles
+                # (>=128 cells each). Below n_blocks*128 cells it cannot
+                # express the reference's block count — at the extreme a
+                # single block, which removes the whole dataset from E/O
+                # and so nullifies the diversity penalty within each
+                # round. Small runs use the exact cell-granular XLA
+                # schedule instead. On a mesh the kernels run per shard
+                # (ops/pallas_rotate.py sharded wrappers), so the bound
+                # applies to the shard-local cells.
+                and cfg.Np // n_shards >= cfg.n_blocks * 128
+            )
+        else:
+            # Permute (reference-exact) schedule: the fused R-gather-free
+            # phase (ops/pallas_estep.pallas_permute_phase) measures
+            # ~1.7x the XLA round loop at 500k on v5e (68 vs 118 ms per
+            # 4-round cluster phase; tools/exp_permute_engine.py, round
+            # 4). Flip only where measured and where the kernel's VMEM
+            # tile set is known to fit: single device, production-scale
+            # N, moderate K. Blocks stay cell-granular (make_blocks), so
+            # no n_blocks*128 floor applies — the N bound is about the
+            # per-block sub-tile padding overhead, not correctness.
+            use_pallas = (
+                mesh is None
+                and _jax.default_backend() == "tpu"
+                and cfg.Np >= 200_000
+                and cfg.K <= 256
+            )
         cfg = _dc.replace(cfg, estep_impl="pallas" if use_pallas else "xla")
     if cfg.estep_impl == "pallas" and cfg.shuffle_mode == "rotate":
         # Shrink the cell sub-tile so each shard's round has at least
