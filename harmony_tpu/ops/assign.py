@@ -63,14 +63,18 @@ def make_blocks(
     pos = jnp.arange(smax, dtype=jnp.int32)
     valid = pos[None, :] < sizes[:, None]
     # Blocks are contiguous windows of the permutation at static starts
-    # i*cpb; because smax = cpb + remainder and the last start is
-    # (nb-1)*cpb, every window ends within [0, N] — static slices, no
-    # general gather (a (nb, smax) gather measures ~3 ms at 500k on v5e;
-    # the slices are plain copies).
+    # i*cpb — static slices, no general gather (a (nb, smax) gather
+    # measures ~3 ms at 500k on v5e; the slices are plain copies). The
+    # tail is padded by smax so a window may overrun N without
+    # dynamic_slice clamping its START (when last_block_size <
+    # cells_per_block, e.g. N=100, block_size=0.3 -> blocks 30/30/30/10,
+    # the last window would otherwise shift and return wrong cells);
+    # overrun slots are invalid and masked to the Np sentinel.
     p32 = perm.astype(jnp.int32)
+    p_pad = jnp.concatenate([p32, jnp.zeros((smax,), jnp.int32)])
     rows = jnp.stack(
         [
-            jax.lax.dynamic_slice_in_dim(p32, i * cpb, smax)
+            jax.lax.dynamic_slice_in_dim(p_pad, i * cpb, smax)
             for i in range(nb)
         ]
     )

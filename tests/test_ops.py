@@ -48,6 +48,38 @@ class TestBlocks:
         assert sizes[:-1].tolist() == [473] * 19
         assert sizes[-1] == 491
 
+    def test_short_final_block_values(self):
+        """When the final block is SHORTER than cells_per_block (e.g.
+        N=100, bs=0.3 -> 30/30/30/10) the last slice window overruns N;
+        the r4 slice-based build must pad, not let dynamic_slice clamp
+        the start (a clamp silently shifts the last block's cells —
+        caught by the parity fuzz suite)."""
+        from harmony_tpu.config import harmony_options
+        from harmony_tpu.preprocess import build_design, resolve_config
+
+        design = build_design({"a": np.zeros(100, np.int32)}, ["a"])
+        cfg = resolve_config(
+            n_cells=100, d=4, design=design, nclust=3, max_iter=2,
+            early_stop=True, verbose=False,
+            options=harmony_options(block_size=0.3),
+        )
+        assert cfg.last_block_size < cfg.cells_per_block
+        perm = jnp.asarray(
+            np.random.default_rng(3).permutation(100), jnp.int32
+        )
+        idx, valid = ops.make_blocks(cfg, perm)
+        idx, valid = np.asarray(idx), np.asarray(valid)
+        p = np.asarray(perm)
+        start = 0
+        for b in range(cfg.n_blocks):
+            size = int(valid[b].sum())
+            np.testing.assert_array_equal(
+                idx[b, :size], p[start : start + size]
+            )
+            assert (idx[b, size:] == cfg.Np).all()
+            start += size
+        assert start == 100
+
 
 class TestObjectiveEquivalence:
     def test_cross_term_contraction_matches_gather_form(self):

@@ -85,10 +85,14 @@ def main():
     run_joint = run_codes  # single covariate: joint id == batch id
 
     def reps(f, n):
-        def body(x, _):
-            return f(x), None
+        # the big (K, N)/(d, N) operands ride as ARGUMENTS, not closures:
+        # closed-over device arrays inline into the HLO as literals, and
+        # at 1M x 100 the remote-compile request then exceeds the
+        # tunnel's body-size limit (HTTP 413)
+        def run(x0, pc_, Z_):
+            def body(x, _):
+                return f(x, pc_, Z_), None
 
-        def run(x0):
             out, _ = jax.lax.scan(body, x0, None, length=n)
             # scalar result: the host fetch that synchronises each timed
             # leg must not stream the (K, N) array over the tunnel (its
@@ -98,19 +102,19 @@ def main():
 
         return jax.jit(run)
 
-    def exp_chain(x):
+    def exp_chain(x, pc_, Z_):
         e = jnp.exp((x - 1.0) * c)
-        w = e * pc
+        w = e * pc_
         s = jnp.sum(w, axis=0, keepdims=True)
         return w / jnp.where(s == 0, 1.0, s)
 
-    def stream(x):
+    def stream(x, pc_, Z_):
         return x * 1.0000001 + 0.5
 
-    def gram(x):
-        return jnp.dot(Y + x[0, 0], Z, preferred_element_type=jnp.float32)
+    def gram(x, pc_, Z_):
+        return jnp.dot(Y + x[0, 0], Z_, preferred_element_type=jnp.float32)
 
-    def blkstat(x):
+    def blkstat(x, pc_, Z_):
         # one ROUND of per-block stat maintenance: n_blocks sequential
         # (remove block stats -> penalty table + log -> commit) passes
         # over the (K, B) E/O tables (kernel: _round_kernel_v2 first/last
@@ -136,27 +140,31 @@ def main():
         )
         return x + acc * 1e-20
 
-    def pc_runbcast(x):
+    Nr = (N // RUN) * RUN  # run-aligned prefix (N need not divide RUN)
+
+    def pc_runbcast(x, pc_, Z_):
         # large-B penalty operand: (K, B) x (B, nruns) + broadcast each
         # run column over its RUN cells -> (K, N)
         pen = jnp.abs(x[:, :B]) + 0.5  # (K, B) stand-in table
         pen_run = jnp.dot(pen, run_oh.T, preferred_element_type=jnp.float32)
-        full = jnp.repeat(pen_run, RUN, axis=1)  # (K, N)
+        full = jnp.repeat(pen_run, RUN, axis=1)  # (K, Nr)
+        if Nr != N:
+            full = jnp.pad(full, ((0, 0), (0, N - Nr)))
         return x * 1.0 + full * 1e-20
 
-    def tO_runsum(x):
-        rs = jnp.sum(x.reshape(K, N // RUN, RUN), axis=2)  # (K, nruns)
+    def tO_runsum(x, pc_, Z_):
+        rs = jnp.sum(x[:, :Nr].reshape(K, N // RUN, RUN), axis=2)  # (K, nruns)
         tO = jnp.dot(rs, run_oh, preferred_element_type=jnp.float32)
         return x + jnp.sum(tO) * 1e-20
 
-    def moment_fused(x):
+    def moment_fused(x, pc_, Z_):
         # fused M-step moments: segment-sum the (K, N) x (N, d)
         # contraction into n_joint rows (the kernel does this as
         # per-sub-tile matmuls + table accumulates; the segment_sum form
         # lower-bounds the same arithmetic)
         S = jax.lax.dot_general(
-            x.reshape(K, N // RUN, RUN),
-            Z.reshape(d, N // RUN, RUN),
+            x[:, :Nr].reshape(K, N // RUN, RUN),
+            Z_[:, :Nr].reshape(d, N // RUN, RUN),
             dimension_numbers=(((2,), (2,)), ((1,), (1,))),
             preferred_element_type=jnp.float32,
         )  # (nruns, K, d)
@@ -180,15 +188,15 @@ def main():
     for name, f, x0, n_hi in prims:
         lo_f, hi_f = reps(f, 8), reps(f, n_hi)
         # warm-up / compile
-        float(np.asarray(lo_f(x0)))
-        float(np.asarray(hi_f(x0)))
+        float(np.asarray(lo_f(x0, pc, Z)))
+        float(np.asarray(hi_f(x0, pc, Z)))
         deltas = []
         for _ in range(5):
             t0 = time.perf_counter()
-            float(np.asarray(lo_f(x0)))
+            float(np.asarray(lo_f(x0, pc, Z)))
             t_lo = time.perf_counter() - t0
             t0 = time.perf_counter()
-            float(np.asarray(hi_f(x0)))
+            float(np.asarray(hi_f(x0, pc, Z)))
             t_hi = time.perf_counter() - t0
             if t_hi > t_lo:
                 deltas.append((t_hi - t_lo) / (n_hi - 8))
