@@ -217,10 +217,40 @@ def cluster(
     if use_permute_fused:
         from .ops.pallas_estep import pallas_permute_phase
 
+        # M-step moment fusion (same gate as the rotate phase): with a
+        # batch-tiled ingest layout the materialise kernel also emits the
+        # joint-batch moment table, so the correction's separate
+        # O(K·N·d) moments pass never runs (src/harmony.cpp:561).
+        moments_spec = None
+        if (
+            return_moments
+            and tiled is not None
+            and cfg.estep_sub_tile % tiled.tile == 0
+        ):
+            import numpy as np
+
+            from .ops.pallas_rotate import MomentsSpec, pad_cells_to_tile
+
+            NT_nat = -(-cfg.Np // cfg.estep_sub_tile) * (
+                cfg.estep_sub_tile // tiled.tile
+            )
+            n_joint = int(tiled.joint_codes.shape[1])
+            tj = np.full(NT_nat, n_joint, np.int32)
+            tj[: len(tiled.tile_joint)] = tiled.tile_joint
+            moments_spec = MomentsSpec(
+                Z_orig_pad=pad_cells_to_tile(cfg, state.Z_orig).astype(
+                    jnp.float32
+                ),
+                tile_joint=jnp.asarray(tj),
+                n_joint=n_joint,
+                tile=int(tiled.tile),
+            )
+
         out = pallas_permute_phase(
             cfg, state.Z_corr, state.Y, state.E, state.O, state.codes,
             state.Pr_b, state.sigma, state.theta, perms,
             sub_tile=cfg.estep_sub_tile, interpret=interpret,
+            moments=moments_spec,
         )
         state = dataclasses.replace(
             state,
@@ -247,8 +277,8 @@ def cluster(
             n_harmony=state.n_harmony + 1,
         )
         if virtual:
-            return state, None, None
-        return (state, None) if return_moments else state
+            return state, out.M, None
+        return (state, out.M) if return_moments else state
 
     if cfg.estep_impl == "pallas":
         from .ops.pallas_estep import pallas_block_update_round

@@ -297,6 +297,7 @@ class PermutePhaseResult(NamedTuple):
     O_rounds: jnp.ndarray  # (rounds, K, B)
     kmeans_error: jnp.ndarray  # (rounds,)
     entropy: jnp.ndarray  # (rounds,)
+    M: "jnp.ndarray | None" = None  # (n_joint+1, K, d+1) fused moments
 
 
 def _permute_round_kernel(
@@ -491,16 +492,34 @@ def _permute_materialize_kernel(
     m_ref,  # (1, T) validity (cell < N)
     pen_ref,  # (K, nbp*B) final-round penalty tables (+ ones tail)
     sigma_ref,  # (K, 1)
-    R_ref,  # (K, T) out
-    *,
+    *rest,
     offsets: tuple,
     B: int,
     nbp: int,
     chunk: int,
+    msub: int = 0,
 ):
     """R of the phase's final round, recomputed in NATURAL cell order —
     the same per-column chain as the round kernel (bit-identical per
-    cell), so no (K, N) scatter pass ever runs."""
+    cell), so no (K, N) scatter pass ever runs. With ``msub`` the kernel
+    also fuses the M-step's joint-batch moment accumulation against
+    Z_orig (the rotate phase's last-round fusion,
+    pallas_rotate._round_kernel_v2) — the R it just wrote IS the R the
+    correction consumes, so the separate O(K·N·d) moments pass never
+    runs on the permute path either."""
+    it = iter(rest)
+    Zo_ref = next(it) if msub else None  # (d, T) Z_orig tile
+    tj_ref = next(it) if msub else None  # (1, NT*msub) SMEM joint ids
+    R_ref = next(it)  # (K, T) out
+    M_out_ref = next(it) if msub else None  # (nj+1, K, d+1) out
+
+    s = pl.program_id(0)
+    if msub:
+
+        @pl.when(s == 0)
+        def _():
+            M_out_ref[...] = jnp.zeros_like(M_out_ref)
+
     Z_t = Z_ref[:]
     T_t = Z_t.shape[1]
     g = jnp.dot(Yt_ref[:], Z_t, preferred_element_type=jnp.float32)
@@ -524,6 +543,26 @@ def _permute_materialize_kernel(
         R_n = R_n / jnp.where(cs == 0.0, 1.0, cs)
         R_ref[:, sl] = R_n * m_t[sl][None, :]
 
+    if msub:
+        # moment fusion: pad cells carry R == 0 (masked above) and pad
+        # tiles map to the dropped sentinel row n_joint
+        Rt = R_ref[:]  # the (K, T) tile just written, VMEM-resident
+        Zo = Zo_ref[:]
+        Tl = T_t // msub
+        for j in range(msub):
+            sl = slice(j * Tl, (j + 1) * Tl)
+            R_sl = Rt[:, sl]
+            S = jax.lax.dot_general(
+                R_sl, Zo[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (K, d)
+            S = jnp.concatenate(
+                [S, jnp.sum(R_sl, axis=1, keepdims=True)], axis=1
+            )
+            jid = tj_ref[0, s * msub + j]
+            M_out_ref[pl.ds(jid, 1)] = M_out_ref[pl.ds(jid, 1)] + S[None]
+
 
 def pallas_permute_phase(
     cfg: HarmonyConfig,
@@ -538,6 +577,7 @@ def pallas_permute_phase(
     perms: jnp.ndarray,  # (rounds, N)
     sub_tile: int = 4096,
     interpret: bool = False,
+    moments=None,  # pallas_rotate.MomentsSpec | None: fuse M-step moments
 ) -> PermutePhaseResult:
     """All of a clustering phase's update rounds, R-gather-free.
 
@@ -728,29 +768,60 @@ def pallas_permute_phase(
         )
     )
     valid_nat = (jnp.arange(Npt) < cfg.N).astype(f32)[None, :]
+    msub = 0
+    in_specs = [
+        pl.BlockSpec((K, d), lambda s_: (0, 0)),
+        pl.BlockSpec((d, T), lambda s_: (0, s_)),
+        pl.BlockSpec((codes.shape[0], T), lambda s_: (0, s_)),
+        pl.BlockSpec((1, T), lambda s_: (0, s_)),
+        pl.BlockSpec((1, T), lambda s_: (0, s_)),
+        pl.BlockSpec((K, nbp * B), lambda s_: (0, 0)),
+        pl.BlockSpec((K, 1), lambda s_: (0, 0)),
+    ]
+    out_specs = [pl.BlockSpec((K, T), lambda s_: (0, s_))]
+    out_shape = [jax.ShapeDtypeStruct((K, Npt), f32)]
+    extra_in = ()
+    if moments is not None:
+        msub = T // moments.tile
+        nj = moments.n_joint
+        NTm = NT * msub
+        tj = jnp.full((1, NTm), nj, jnp.int32)
+        tj = tj.at[0, : moments.tile_joint.shape[0]].set(
+            moments.tile_joint.astype(jnp.int32)
+        )
+        in_specs += [
+            pl.BlockSpec((d, T), lambda s_: (0, s_)),  # Z_orig tile
+            pl.BlockSpec(
+                (1, NTm), lambda s_: (0, 0), memory_space=pltpu.SMEM
+            ),  # tile -> joint id
+        ]
+        out_specs.append(
+            pl.BlockSpec((nj + 1, K, d + 1), lambda s_: (0, 0, 0))
+        )
+        out_shape.append(jax.ShapeDtypeStruct((nj + 1, K, d + 1), f32))
+        extra_in = (padT(moments.Z_orig_pad.astype(f32)), tj)
     mat = pl.pallas_call(
         partial(
             _permute_materialize_kernel,
-            offsets=offsets, B=B, nbp=nbp, chunk=chunk,
+            offsets=offsets, B=B, nbp=nbp, chunk=chunk, msub=msub,
         ),
         grid=(NT,),
-        in_specs=[
-            pl.BlockSpec((K, d), lambda s_: (0, 0)),
-            pl.BlockSpec((d, T), lambda s_: (0, s_)),
-            pl.BlockSpec((codes.shape[0], T), lambda s_: (0, s_)),
-            pl.BlockSpec((1, T), lambda s_: (0, s_)),
-            pl.BlockSpec((1, T), lambda s_: (0, s_)),
-            pl.BlockSpec((K, nbp * B), lambda s_: (0, 0)),
-            pl.BlockSpec((K, 1), lambda s_: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((K, T), lambda s_: (0, s_)),
-        out_shape=jax.ShapeDtypeStruct((K, Npt), f32),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )
-    R_nat = mat(
+    outs = mat(
         Yt, padT(Zf), padT(codes), padT(blk_nat[None, :]),
         padT(valid_nat), pen_prev, sigma.astype(f32)[:, None],
-    )[:, :Np]
+        *extra_in,
+    )
+    if moments is not None:
+        R_nat, M = outs
+    else:
+        (R_nat,) = (outs if isinstance(outs, (list, tuple)) else (outs,))
+        M = None
+    R_nat = R_nat[:, :Np]
     return PermutePhaseResult(
         R=R_nat,
         E=E_c,
@@ -759,4 +830,5 @@ def pallas_permute_phase(
         O_rounds=O_st,
         kmeans_error=kerr_st,
         entropy=ent_st,
+        M=M,
     )

@@ -351,3 +351,53 @@ def test_virtual_r_matches_materialized_path(variant):
     np.testing.assert_allclose(
         np.asarray(out[True].R), np.asarray(out[False].R), atol=1e-6
     )
+
+
+def test_permute_fused_moments_match_separate_pass():
+    """The permute phase's materialise kernel fuses the M-step moment
+    table (round 4, mirroring the rotate phase's last-round fusion) —
+    it must match the separate moments pass through a full round."""
+    from harmony_tpu.config import harmony_options
+    from harmony_tpu.engine import cluster, correct, make_engine
+    from harmony_tpu.preprocess import (
+        build_design, expand_hyperparams, orient_embedding, resolve_config,
+    )
+    from harmony_tpu.state import init_state
+
+    rng = np.random.default_rng(11)
+    N, d, B = 4096, 8, 3
+    batches = rng.integers(0, B, N)
+    Z = rng.normal(size=(N, d)).astype(np.float32)
+    design = build_design({"dataset": batches}, ["dataset"])
+    options = harmony_options()
+    cfg = resolve_config(
+        n_cells=N, d=d, design=design, nclust=8, max_iter=3,
+        early_stop=False, options=options, verbose=False,
+    )
+    cfg = dataclasses.replace(
+        cfg, shuffle_mode="permute", estep_impl="pallas",
+        estep_sub_tile=512, mstep_tile=128, mstep_mode="tiled",
+    )
+    perm, _ = build_batch_tiled_order(design.codes, 128, seed=0)
+    Zt = orient_embedding(Z, N)[:, perm]
+    design = dataclasses.replace(design, codes=design.codes[:, perm])
+    hp = expand_hyperparams(design, cfg.K, None, 0.1, 1.0, options.tau)
+    state = init_state(
+        cfg, Zt, design, hp.sigma, hp.theta, hp.lamb, jax.random.PRNGKey(5)
+    )
+    tiled = detect_tiled_layout(np.asarray(state.codes), cfg.N, 128)
+    assert tiled is not None
+    engine = make_engine(cfg, codes=state.codes)
+    state = engine.init_cluster(state)
+
+    st, M = cluster(cfg, state, tiled=tiled, return_moments=True)
+    assert M is not None, "permute moment fusion did not activate"
+    out_fused = correct(cfg, st, tiled=tiled, tiled_moments=M)
+    out_sep = correct(cfg, st, tiled=tiled, tiled_moments=None)
+    np.testing.assert_allclose(
+        np.asarray(out_fused.Z_corr), np.asarray(out_sep.Z_corr),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_fused.Y), np.asarray(out_sep.Y), atol=2e-4,
+    )
