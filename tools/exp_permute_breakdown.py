@@ -18,6 +18,14 @@ the remote tunnel, CLAUDE.md):
   round_pallas  the whole production pallas_block_update_round
   round_xla     the whole ops.estep.block_update_round
 
+CAVEAT (round 4): several of these anchors are now known to be
+unrepresentative — strided-slice consumers let XLA elide gather work,
+and fixing the permutation across scan iterations lets it hoist the
+loop-invariant layout gathers. Use exp_round_fresh.py /
+exp_phase_ablate.py / exp_gather_variants.py for decision-grade
+numbers; this tool is kept for the honest anchors (perm_draw, perm_sort,
+gather_R, scatter, round_*) and as a record of the methodology trap.
+
 Usage: python tools/exp_permute_breakdown.py [--cells 500000] ...
 """
 

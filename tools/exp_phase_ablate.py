@@ -344,18 +344,26 @@ def main():
     def measure(name, skip):
         phase = build_phase(cfg, skip, args.rounds)
 
-        def f(x):
-            R_nat, E_c, accs = phase(
-                Zn, Yt, E0, O0, codes, Pr_b, sigma, theta, perms
-            )
-            return (
-                x
-                + (jnp.sum(R_nat[:, :8]) + jnp.sum(E_c) + jnp.sum(accs))
-                * 1e-20
-            )
-
         def runner(n):
-            def run(x0):
+            # big operands as ARGUMENTS: closure device arrays inline
+            # into the HLO as literals and blow the remote-compile
+            # request size at >=2M cells (HTTP 413)
+            def run(x0, Zn_, codes_, perms_):
+                def f(x):
+                    R_nat, E_c, accs = phase(
+                        Zn_, Yt, E0, O0, codes_, Pr_b, sigma, theta,
+                        perms_,
+                    )
+                    return (
+                        x
+                        + (
+                            jnp.sum(R_nat[:, :8])
+                            + jnp.sum(E_c)
+                            + jnp.sum(accs)
+                        )
+                        * 1e-20
+                    )
+
                 out = jax.lax.scan(
                     lambda c, _: (f(c), None), x0, None, length=n
                 )[0]
@@ -365,15 +373,15 @@ def main():
 
         lo_f, hi_f = runner(2), runner(args.reps)
         x0 = jnp.float32(0.0)
-        float(np.asarray(lo_f(x0)))
-        float(np.asarray(hi_f(x0)))
+        float(np.asarray(lo_f(x0, Zn, codes, perms)))
+        float(np.asarray(hi_f(x0, Zn, codes, perms)))
         deltas = []
         for _ in range(5):
             t0 = time.perf_counter()
-            float(np.asarray(lo_f(x0)))
+            float(np.asarray(lo_f(x0, Zn, codes, perms)))
             t_lo = time.perf_counter() - t0
             t0 = time.perf_counter()
-            float(np.asarray(hi_f(x0)))
+            float(np.asarray(hi_f(x0, Zn, codes, perms)))
             t_hi = time.perf_counter() - t0
             if t_hi > t_lo:
                 deltas.append((t_hi - t_lo) / (args.reps - 2))
