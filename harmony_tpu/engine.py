@@ -200,9 +200,17 @@ def cluster(
     key, sub = jax.random.split(state.key)
     round_keys = jax.random.split(sub, cfg.max_iter_cluster)
     if perms is None and not use_rotate:
-        perms = jax.vmap(
-            lambda k: jax.random.permutation(k, cfg.N).astype(jnp.int32)
-        )(round_keys)
+        # unrolled draws, NOT vmapped: the batched sort lowers ~2.2x
+        # slower on v5e (12.6 vs 5.7 ms for 4 draws at 500k) and the
+        # round count is static; per-key values are identical either way
+        perms = jnp.stack(
+            [
+                jax.random.permutation(round_keys[i], cfg.N).astype(
+                    jnp.int32
+                )
+                for i in range(cfg.max_iter_cluster)
+            ]
+        )
     state = dataclasses.replace(state, key=key)
 
     # Fused permute PHASE (opt-in estep_impl='pallas' on the

@@ -263,7 +263,7 @@ def pallas_block_update_round(
 # the old-block statistics, and scatters the new R back — three full
 # K x N indexed passes per round (VERDICT r3 weak #5 measured the
 # schedule at ~3.4M cells/s against rotate's ~100M; the fused phase
-# below lands it at ~6.2M, round 4).
+# below lands it at ~6.7M fp32 / 8.0M bf16, round 4).
 #
 # This phase-level design removes R from the round loop entirely, by the
 # same observation that powers rotate's virtual R: DURING a clustering

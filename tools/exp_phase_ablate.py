@@ -350,9 +350,14 @@ def main():
             # request size at >=2M cells (HTTP 413)
             def run(x0, Zn_, codes_, perms_):
                 def f(x):
+                    # thread the carry into the perms so the phase is
+                    # loop-VARIANT (as plain args the whole phase is
+                    # invariant w.r.t. the scan carry and XLA hoists it
+                    # out of the loop entirely)
+                    perms_i = perms_ + (x * 1e-30).astype(jnp.int32)
                     R_nat, E_c, accs = phase(
                         Zn_, Yt, E0, O0, codes_, Pr_b, sigma, theta,
-                        perms_,
+                        perms_i,
                     )
                     return (
                         x
