@@ -407,6 +407,13 @@ def finalize_engine_config(cfg: HarmonyConfig, mesh=None) -> HarmonyConfig:
                 and _jax.default_backend() == "tpu"
                 and cfg.Np >= 200_000
                 and cfg.K <= 256
+                # the fused phase needs the static round count (the
+                # windowed early stop cannot fire when max_iter_cluster
+                # <= window_size + 2); larger clustering budgets (the
+                # reference's own tests use 10) run the per-round
+                # kernel, which is slower than XLA's gathered loop —
+                # don't auto-pick pallas there
+                and cfg.max_iter_cluster <= cfg.window_size + 2
             )
         cfg = _dc.replace(cfg, estep_impl="pallas" if use_pallas else "xla")
     if cfg.estep_impl == "pallas" and cfg.shuffle_mode == "rotate":

