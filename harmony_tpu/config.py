@@ -394,17 +394,20 @@ def finalize_engine_config(cfg: HarmonyConfig, mesh=None) -> HarmonyConfig:
             )
         else:
             # Permute (reference-exact) schedule: the fused R-gather-free
-            # phase (ops/pallas_estep.pallas_permute_phase) measures
-            # ~1.7x the XLA round loop at 500k on v5e (68 vs 118 ms per
-            # 4-round cluster phase; tools/exp_permute_engine.py, round
-            # 4). Flip only where measured and where the kernel's VMEM
-            # tile set is known to fit: single device, production-scale
-            # N, moderate K. Blocks stay cell-granular (make_blocks), so
-            # no n_blocks*128 floor applies — the N bound is about the
-            # per-block sub-tile padding overhead, not correctness.
+            # phase measures ~1.7x the XLA round loop at 500k on v5e (68
+            # vs 118 ms per 4-round cluster phase;
+            # tools/exp_permute_engine.py, round 4). Single-device runs
+            # use the Pallas phase (ops/pallas_estep); mesh runs the
+            # SPMD-partitioned XLA variant of the same algorithm
+            # (ops/permute_phase), which skips the K x N R
+            # gathers/scatters the per-round path pays three of per
+            # round. Flip only where measured / structurally better:
+            # production-scale N, moderate K. Blocks stay cell-granular
+            # (make_blocks), so no n_blocks*128 floor applies — the N
+            # bound is about per-block sub-tile padding overhead, not
+            # correctness.
             use_pallas = (
-                mesh is None
-                and _jax.default_backend() == "tpu"
+                _jax.default_backend() == "tpu"
                 and cfg.Np >= 200_000
                 and cfg.K <= 256
                 # the fused phase needs the static round count (the

@@ -1,0 +1,212 @@
+"""Sharded fused permute phase (ops/permute_phase.py) on the virtual mesh.
+
+The reference-exact schedule's fast path must scale past one device
+(VERDICT r4 missing #1): global blocks from the global permutation, one
+K x B psum per block commit. These tests pin (a) the phase against the
+per-round XLA path it replaces (same injected permutations), (b)
+shard-count invariance, and (c) the engine integration end to end.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from harmony_tpu import ops
+from harmony_tpu.config import HarmonyConfig
+from harmony_tpu.ops.normalize import l2_normalize_columns
+from harmony_tpu.ops.permute_phase import xla_permute_phase
+from harmony_tpu.sharding import CELL_AXIS, make_mesh
+
+
+def _problem(N=240, d=8, K=5, B_vec=(3,), seed=0, rounds=4):
+    rng = np.random.default_rng(seed)
+    cfg = HarmonyConfig(
+        N=N, d=d, K=K, B=sum(B_vec), B_vec=B_vec,
+        shuffle_mode="permute", estep_impl="pallas",
+    )
+    Z = np.asarray(
+        l2_normalize_columns(
+            jnp.asarray(rng.normal(size=(d, N)), jnp.float32)
+        )
+    )
+    Y = np.asarray(
+        l2_normalize_columns(
+            jnp.asarray(rng.normal(size=(d, K)), jnp.float32)
+        )
+    )
+    codes = np.stack(
+        [rng.integers(0, b, N) for b in B_vec]
+    ).astype(np.int32)
+    counts = np.concatenate(
+        [np.bincount(codes[c], minlength=b) for c, b in enumerate(B_vec)]
+    )
+    Pr_b = (counts / N).astype(np.float32)
+    sigma = np.full(K, 0.1, np.float32)
+    theta = np.full(cfg.B, 1.0, np.float32)
+
+    Zj, Yj = jnp.asarray(Z), jnp.asarray(Y)
+    cj = jnp.asarray(codes)
+    # consistent precondition: (R, E, O) from the implied softmax
+    # assignments (the re-entry re-estimation state)
+    dist = ops.compute_distances(Yj, Zj)
+    R0 = ops.initial_assignments(dist, jnp.asarray(sigma))
+    E0 = ops.compute_E(R0, jnp.asarray(Pr_b))
+    O0 = ops.compute_O(R0, cj, cfg.covariate_offsets, cfg.B)
+    perms = jnp.asarray(
+        np.stack([rng.permutation(N) for _ in range(rounds)]).astype(
+            np.int32
+        )
+    )
+    return (
+        cfg, Zj, Yj, R0, E0, O0, cj, jnp.asarray(Pr_b),
+        jnp.asarray(sigma), jnp.asarray(theta), perms,
+    )
+
+
+def _per_round_reference(cfg, Z, Y, R, E, O, codes, Pr_b, sigma, theta,
+                         perms):
+    """The per-round XLA path the fused phase must reproduce."""
+    Es, Os, kerrs, ents = [], [], [], []
+    for r in range(perms.shape[0]):
+        res = ops.block_update_round(
+            cfg, Z, Y, R, E, O, codes, Pr_b, sigma, theta, perms[r]
+        )
+        R, E, O = res.R, res.E, res.O
+        Es.append(np.asarray(E))
+        Os.append(np.asarray(O))
+        kerrs.append(float(res.kmeans_error))
+        ents.append(float(res.entropy))
+    return np.asarray(R), Es, Os, kerrs, ents
+
+
+def test_phase_matches_per_round_path_single_device():
+    """mesh=None: the carried-penalty-table recompute reproduces the
+    stored-R per-round trajectory (same blocks, same commit points)."""
+    cfg, Z, Y, R0, E0, O0, codes, Pr_b, sigma, theta, perms = _problem()
+    R_ref, Es, Os, kerrs, ents = _per_round_reference(
+        cfg, Z, Y, R0, E0, O0, codes, Pr_b, sigma, theta, perms
+    )
+    out = jax.jit(
+        lambda *a: xla_permute_phase(cfg, *a, mesh=None)
+    )(Z, Y, E0, O0, codes, Pr_b, sigma, theta, perms)
+    for r in range(perms.shape[0]):
+        np.testing.assert_allclose(
+            np.asarray(out.E_rounds[r]), Es[r], atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.O_rounds[r]), Os[r], atol=2e-3
+        )
+        assert abs(float(out.kmeans_error[r]) - kerrs[r]) < 5e-3 * (
+            1 + abs(kerrs[r])
+        )
+        assert abs(float(out.entropy[r]) - ents[r]) < 5e-3 * (
+            1 + abs(ents[r])
+        )
+    np.testing.assert_allclose(np.asarray(out.R), R_ref, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.R).sum(axis=0), 1.0, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_phase_shard_count_invariant(n_shards):
+    """The sharded phase's blocks are GLOBAL: any mesh size reproduces
+    the single-device trajectory (per-shard partials only regroup fp
+    summation)."""
+    cfg, Z, Y, R0, E0, O0, codes, Pr_b, sigma, theta, perms = _problem()
+    ref = jax.jit(
+        lambda *a: xla_permute_phase(cfg, *a, mesh=None)
+    )(Z, Y, E0, O0, codes, Pr_b, sigma, theta, perms)
+
+    mesh = make_mesh(n_shards)
+    cell = NamedSharding(mesh, P(None, CELL_AXIS))
+    Zs = jax.device_put(Z, cell)
+    cs = jax.device_put(codes, cell)
+    out = jax.jit(
+        lambda *a: xla_permute_phase(cfg, *a, mesh=mesh)
+    )(Zs, Y, E0, O0, cs, Pr_b, sigma, theta, perms)
+
+    np.testing.assert_allclose(
+        np.asarray(out.R), np.asarray(ref.R), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.E_rounds), np.asarray(ref.E_rounds), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.O_rounds), np.asarray(ref.O_rounds), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.kmeans_error), np.asarray(ref.kmeans_error),
+        rtol=2e-4, atol=1e-3,
+    )
+
+
+def test_engine_sharded_permute_matches_xla_path():
+    """Full engine runs on the 8-device mesh: estep_impl='pallas' (the
+    sharded fused phase) vs 'xla' (the per-round path) with injected
+    permutations produce the same corrected embedding."""
+    from harmony_tpu.driver import harmonize
+    from harmony_tpu.engine import make_engine
+    from harmony_tpu.preprocess import (
+        build_design, expand_hyperparams, orient_embedding, resolve_config,
+    )
+    from harmony_tpu.state import init_state
+    from harmony_tpu.config import harmony_options
+    from harmony_tpu.sharding import shard_state
+
+    from conftest import make_synthetic
+
+    N = 240
+    Z, meta = make_synthetic(None, n_cells=N, d=6, seed=11)
+    design = build_design(meta, ["dataset"])
+    Zt = orient_embedding(Z, N)
+    cfg = resolve_config(
+        n_cells=N, d=6, design=design, nclust=5, max_iter=2,
+        early_stop=False, options=harmony_options(), verbose=False,
+    )
+    hp = expand_hyperparams(design, cfg.K, None, 0.1, 1.0, 0)
+    rng = np.random.default_rng(3)
+    Y0 = Zt[:, rng.choice(N, cfg.K, replace=False)]
+    perms = np.stack(
+        [
+            np.stack(
+                [rng.permutation(N) for _ in range(cfg.max_iter_cluster)]
+            )
+            for _ in range(2)
+        ]
+    ).astype(np.int32)
+
+    mesh = make_mesh(8)
+    outs = {}
+    for impl in ("xla", "pallas"):
+        c = dataclasses.replace(
+            cfg, estep_impl=impl, shuffle_mode="permute"
+        )
+        st = init_state(
+            c, Zt, design, hp.sigma, hp.theta, hp.lamb,
+            jax.random.PRNGKey(0),
+        )
+        st = shard_state(st, mesh)
+        eng = make_engine(c, codes=st.codes, mesh=mesh)
+        st = eng.init_cluster_from(st, jnp.asarray(Y0))
+        st = harmonize(eng, st, max_iter=2, perms=perms)
+        outs[impl] = st
+    np.testing.assert_allclose(
+        np.asarray(outs["pallas"].Z_corr),
+        np.asarray(outs["xla"].Z_corr),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs["pallas"].objective_kmeans),
+        np.asarray(outs["xla"].objective_kmeans),
+        rtol=1e-4, atol=1e-4,
+    )
+    # R of the final clustering round materialised (simplex-valid)
+    np.testing.assert_allclose(
+        np.asarray(outs["pallas"].R).sum(axis=0), 1.0, atol=1e-5
+    )
