@@ -306,6 +306,7 @@ def run_harmony(
     abort=None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 1,
+    stream_ingest="auto",
     **legacy,
 ):
     """Run Harmony integration on a cell-embedding matrix.
@@ -339,6 +340,13 @@ def run_harmony(
     zero-gather schedule for production-scale runs (see PERFORMANCE.md);
     ``"auto"`` (default) picks ``permute`` below 100k cells or when
     parity hooks (``init_Y``) are supplied, ``rotate`` otherwise.
+
+    ``stream_ingest``: stream the embedding to the device in engine-dtype
+    chunks on a background thread, overlapping the upload with the
+    ingest-layout build and engine construction; the ingest reorder then
+    runs on device (:class:`harmony_tpu.runtime.AsyncIngest`). ``"auto"``
+    (default) enables it from 200k cells; values are identical either
+    way — streaming only changes when bytes move.
 
     ``abort`` (a :class:`harmony_tpu.runtime.AbortFlag`) enables
     cooperative interruption; ``checkpoint_path`` enables periodic
@@ -430,12 +438,27 @@ def run_harmony(
     # zero-gather O(K·N·d) path (sharded: per-shard tiles + one psum of
     # the joint moment table).
     ingest_inv = None
+    ingest_perm = None
     ckpt_meta = {
         "shuffle_mode": shuffle_mode, "seed": seed,
         # mesh provenance (ADVICE r3): lets a CLI resume know the run was
         # sharded even when --mesh is not re-passed
         "mesh_size": 0 if mesh is None else int(mesh.size),
     }
+
+    # Streamed ingest (the BASELINE north star's "each host streams its
+    # cell-embedding shard"): start the chunked engine-dtype upload NOW,
+    # on a background thread, so the ingest-layout build, hyperparameter
+    # expansion and engine construction below all overlap the transfer;
+    # the ingest reorder then happens ON DEVICE (runtime.AsyncIngest). At
+    # small N the upload is trivial and the extra thread buys nothing.
+    if stream_ingest == "auto":
+        stream_ingest = N >= 200_000
+    stream = None
+    if stream_ingest:
+        from .runtime import AsyncIngest
+
+        stream = AsyncIngest(Z, cfg, mesh=mesh)
     # 'permute' runs benefit from the same batch-tiled ingest: the E-step
     # re-permutes cells every round regardless of base order (so the
     # reference's uniform-random schedule is preserved verbatim), while
@@ -475,7 +498,11 @@ def run_harmony(
         ckpt_meta["tiled_tile"] = int(tiled_t or 0)
         if perm is not None:
             ingest_inv = np.argsort(perm)
-            Z = Z[:, perm]
+            ingest_perm = perm
+            if stream is None:
+                Z = Z[:, perm]
+            # streamed runs reorder on device (AsyncIngest.result(perm));
+            # the codes reorder is small and stays on host either way
             design = dataclasses.replace(
                 design, codes=design.codes[:, perm]
             )
@@ -483,13 +510,6 @@ def run_harmony(
     hp = expand_hyperparams(
         design, cfg.K, theta, sigma, lamb, options.tau, verbose=verbose
     )
-
-    key = jax.random.PRNGKey(seed)
-    state = init_state(cfg, Z, design, hp.sigma, hp.theta, hp.lamb, key)
-    if mesh is not None:
-        from .sharding import shard_state
-
-        state = shard_state(state, mesh)
 
     if init_Y is not None:
         init_Y = np.asarray(init_Y, dtype=np.float64)
@@ -501,10 +521,40 @@ def run_harmony(
     from .runtime import PhaseTimers
 
     timers = PhaseTimers()
+    engine = None
+    if stream is not None:
+        # build the engine while the upload streams: its host-side layout
+        # detection + one-hot constant builds are transfer-independent
+        # (they read the small host codes, not Z)
+        from .engine import make_engine
+
+        codes_host = design.codes.astype(np.int32)
+        if cfg.Np != cfg.N:  # same zero pad init_state applies
+            codes_host = np.concatenate(
+                [
+                    codes_host,
+                    np.zeros(
+                        (codes_host.shape[0], cfg.Np - cfg.N), np.int32
+                    ),
+                ],
+                axis=1,
+            )
+        with timers.scope("make_engine"):
+            engine = make_engine(cfg, codes=codes_host, mesh=mesh)
+        with timers.scope("ingest_join"):
+            Z = stream.result(ingest_perm)
+
+    key = jax.random.PRNGKey(seed)
+    state = init_state(cfg, Z, design, hp.sigma, hp.theta, hp.lamb, key)
+    if mesh is not None:
+        from .sharding import shard_state
+
+        state = shard_state(state, mesh)
+
     state = _run(
         cfg, state, verbose=verbose, Y0=init_Y, mesh=mesh, abort=abort,
         checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
-        checkpoint_meta=ckpt_meta, timers=timers,
+        checkpoint_meta=ckpt_meta, timers=timers, engine=engine,
     )
 
     result = HarmonyResult(

@@ -148,6 +148,10 @@ def run_bench(
         overrides["estep_sub_tile"] = int(os.environ["HARMONY_BENCH_SUBTILE"])
     if os.environ.get("HARMONY_BENCH_VIRTUAL"):
         overrides["virtual_r"] = os.environ["HARMONY_BENCH_VIRTUAL"] != "0"
+    if os.environ.get("HARMONY_BENCH_SORTED"):
+        overrides["permute_sorted_blocks"] = (
+            os.environ["HARMONY_BENCH_SORTED"] != "0"
+        )
     if mstep_mode:
         overrides["mstep_mode"] = mstep_mode
     if shuffle_mode:

@@ -223,6 +223,18 @@ class HarmonyConfig:
     # at streaming bandwidth, no gathers; statistically equivalent but a
     # different trajectory.
     shuffle_mode: str = "permute"
+    # Fused permute phase only: gather each block's cells in ascending
+    # physical index order (ops/assign.make_blocks_sorted). Identical
+    # block membership/commit points — the exact math is invariant to
+    # within-block order (src/harmony.cpp:309-331). Measured on v5e
+    # (round 5): XLA's gather lowering does NOT exploit index order —
+    # 500k 74.3 -> 76.6 ms/iter, 2M 641 -> 682 ms (the extra per-round
+    # sort costs, the gather doesn't improve; tools/exp_gather_layout.py
+    # shows the same rate for random and block-sorted indices in both
+    # table layouts) — so the default is OFF and the knob exists as the
+    # recorded negative result. Parity-pinned runs (injected perms) use
+    # the exact order regardless.
+    permute_sorted_blocks: bool = False
 
     # Buffer donation for the phase functions: 'on' | 'off' | 'auto'
     # (auto = donate only when the big state arrays exceed ~2 GiB, where

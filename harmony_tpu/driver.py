@@ -247,10 +247,16 @@ def run(
     checkpoint_every: int = 1,
     checkpoint_meta: Optional[dict] = None,
     timers=None,
+    engine: Optional[Engine] = None,
 ) -> HarmonyState:
-    """init_cluster + harmonize, returning the final state."""
-    with _scope(timers, "make_engine"):
-        engine = make_engine(cfg, codes=state.codes, mesh=mesh)
+    """init_cluster + harmonize, returning the final state.
+
+    ``engine`` may be pre-built (streamed-ingest runs construct it while
+    the embedding upload is still in flight); otherwise it is built here.
+    """
+    if engine is None:
+        with _scope(timers, "make_engine"):
+            engine = make_engine(cfg, codes=state.codes, mesh=mesh)
     with _scope(timers, "init_cluster"):
         if Y0 is not None:
             state = engine.init_cluster_from(state, jnp.asarray(Y0))

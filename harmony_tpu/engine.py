@@ -217,6 +217,7 @@ def cluster(
             state,
         )
 
+    perms_injected = perms is not None
     key, sub = jax.random.split(state.key)
     round_keys = jax.random.split(sub, cfg.max_iter_cluster)
     if perms is None and not use_rotate:
@@ -317,6 +318,12 @@ def cluster(
             state.Pr_b, state.sigma, state.theta, perms,
             sub_tile=cfg.estep_sub_tile, interpret=interpret,
             moments=moments_spec,
+            # exact within-block order whenever parity perms are
+            # injected; drawn schedules use the HBM-friendly ascending
+            # order (membership/commits identical)
+            sorted_blocks=(
+                cfg.permute_sorted_blocks and not perms_injected
+            ),
         )
         state = dataclasses.replace(
             state,

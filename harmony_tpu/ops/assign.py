@@ -80,3 +80,54 @@ def make_blocks(
     )
     cell_idx = jnp.where(valid, rows, cfg.Np)
     return cell_idx, valid
+
+
+def make_blocks_sorted(
+    cfg: HarmonyConfig, perm: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`make_blocks` with each block's members in ASCENDING cell
+    order.
+
+    Block MEMBERSHIP and processing order are identical to
+    :func:`make_blocks` (the reference's geometry, src/harmony.cpp:
+    293-300); only the within-block visit order changes — which the
+    algorithm's exact math is invariant to (every cell of a block sees
+    the same post-removal (E, O), src/harmony.cpp:309-331; only fp
+    summation order of the block's aggregate statistics regroups).
+    Ascending indices turn the layout gather's HBM access pattern from
+    uniform-random into nb interleaved ascending streams (stride ~nb
+    between consecutive columns), which restores gather bandwidth past
+    the ≥2M-cell cache-reach cliff (PERFORMANCE.md permute section).
+
+    Built with ONE extra sort per round: the composite key
+    ``block(p) * (Np+1) + perm[p]`` sorts jointly by (block, cell); the
+    static block boundaries then slice it exactly like make_blocks.
+    Exact-trajectory runs (injected perms) keep :func:`make_blocks`.
+    """
+    nb, cpb, smax = cfg.n_blocks, cfg.cells_per_block, cfg.max_block_size
+    N = perm.shape[0]
+    stride = cfg.Np + 1
+    # key range nb * (Np+1): int32 up to ~100M cells at nb=20; use i64
+    # beyond (jax x64 may be off, so guard statically)
+    kdt = jnp.int32 if nb * stride < 2**31 else jnp.int64
+    p = jnp.arange(N, dtype=kdt)
+    b_of_p = jnp.minimum(p // cpb, nb - 1)  # last block absorbs
+    key = jnp.sort(b_of_p * stride + perm.astype(kdt))
+    cell_sorted = (key % stride).astype(jnp.int32)
+
+    sizes = jnp.full((nb,), cpb, dtype=jnp.int32).at[nb - 1].set(
+        cfg.last_block_size
+    )
+    pos = jnp.arange(smax, dtype=jnp.int32)
+    valid = pos[None, :] < sizes[:, None]
+    c_pad = jnp.concatenate(
+        [cell_sorted, jnp.zeros((smax,), jnp.int32)]
+    )
+    rows = jnp.stack(
+        [
+            jax.lax.dynamic_slice_in_dim(c_pad, i * cpb, smax)
+            for i in range(nb)
+        ]
+    )
+    cell_idx = jnp.where(valid, rows, cfg.Np)
+    return cell_idx, valid

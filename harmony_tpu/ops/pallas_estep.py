@@ -578,8 +578,16 @@ def pallas_permute_phase(
     sub_tile: int = 4096,
     interpret: bool = False,
     moments=None,  # pallas_rotate.MomentsSpec | None: fuse M-step moments
+    sorted_blocks: bool = False,
+    prefetch_layouts: "bool | None" = None,  # None = memory-gated auto
 ) -> PermutePhaseResult:
     """All of a clustering phase's update rounds, R-gather-free.
+
+    ``sorted_blocks=True`` gathers each block's cells in ascending
+    physical order (``make_blocks_sorted``): identical block membership
+    and commit points, HBM-friendly layout gathers — the fix for the
+    ≥2M-cell random-gather cliff. Exact-trajectory runs (injected perms)
+    must pass ``False`` (within-block fp summation order regroups).
 
     Pre-condition: (E, O) are consistent with the CURRENT implied
     assignments softmax(-dist/sigma) — i.e. the state right after
@@ -709,49 +717,129 @@ def pallas_permute_phase(
     ncov = codes.shape[0]
     tbl_zc = jnp.concatenate([Zp, cp.astype(f32)], axis=0)
 
-    def round_body(carry, perm_r):
-        pen_prev, blk_nat, E_c, O_c = carry
-        idx, mask = make_blocks(cfg, perm_r)  # (nb, S)
-        if S_pad != S:
-            padw = ((0, 0), (0, S_pad - S))
-            idx = jnp.pad(idx, padw, constant_values=Np)
-            mask = jnp.pad(mask, padw, constant_values=False)
-        flat_idx = idx.reshape(-1)
-        mf = mask.astype(f32).reshape(1, L)
+    from .assign import make_blocks_sorted
 
-        blk_row = jnp.concatenate(
-            [blk_nat, jnp.full((1,), nb, jnp.int32)]
-        ).astype(f32)[None, :]
-        lay = jnp.concatenate([tbl_zc, blk_row], axis=0)[:, flat_idx]
-        Z_lay = lay[:d]
-        c_lay = lay[d : d + ncov].astype(jnp.int32)
-        blk_lay = lay[d + ncov :].astype(jnp.int32)
+    block_maker = make_blocks_sorted if sorted_blocks else make_blocks
 
-        E_n, O_n, pen_out, acc = kernel(
-            Yt, Z_lay, c_lay, blk_lay, mf, pen_prev, E_c, O_c,
-            Prr, sig, th,
-        )
-        # next round's carried context
-        pen_next = jnp.concatenate(
-            [
-                jnp.transpose(pen_out, (1, 0, 2)).reshape(K, nb * B),
-                jnp.ones((K, B), f32),
-            ],
-            axis=1,
-        )
-        blk_next = (
-            jnp.zeros((Np + 1,), jnp.int32).at[flat_idx].set(slot_blk)
-        )[:Np]
-        return (
-            (pen_next, blk_next, E_n, O_n),
-            (E_n, O_n, acc[0, 0], acc[0, 1]),
-        )
+    # Layout prefetch (round 5): every round's block layout is a pure
+    # function of the upfront-drawn permutations — only the tiny penalty
+    # tables carry data between rounds — so ALL rounds' layouts gather in
+    # ONE pass from a table whose extra rows hold each round's
+    # precomputed block ids (row d+ncov+r = block ids after round r-1;
+    # row d+ncov is the all-sentinel pre-phase row). The per-gather fixed
+    # overhead (measured ~15 ms per separate gather at 500k, r4) is then
+    # paid once per PHASE instead of once per round, and the per-round
+    # block-id scatters hoist out of the scan. Memory: the gathered
+    # (d+ncov+rounds, rounds*L) layout block; gate at ~2.5 GB (10M-scale
+    # permute runs keep the per-round path).
+    rowsN = d + ncov + rounds
+    prefetch = rounds >= 2 and rowsN * rounds * L * 4 <= 2_500_000_000
+    if prefetch_layouts is not None:
+        prefetch = prefetch_layouts and rounds >= 1
 
-    (pen_prev, blk_nat, E_c, O_c), (E_st, O_st, kerr_st, ent_st) = (
-        jax.lax.scan(
-            round_body, (pen_prev, blk_nat, E_c, O_c), perms
+    if prefetch:
+        idxs = []
+        mf = None
+        blk_rows = [jnp.full((Np + 1,), float(nb), f32)]  # round 0
+        for r in range(rounds):
+            idx, mask = block_maker(cfg, perms[r])  # (nb, S)
+            if S_pad != S:
+                padw = ((0, 0), (0, S_pad - S))
+                idx = jnp.pad(idx, padw, constant_values=Np)
+                mask = jnp.pad(mask, padw, constant_values=False)
+            if mf is None:  # block sizes are static: mask is round-free
+                mf = mask.astype(f32).reshape(1, L)
+            idxs.append(idx.reshape(-1))
+            blk_rows.append(
+                jnp.zeros((Np + 1,), jnp.int32)
+                .at[idxs[-1]]
+                .set(slot_blk)
+                .astype(f32)
+            )
+        blk_nat = blk_rows[-1][:Np].astype(jnp.int32)  # materialise ctx
+        tbl_big = jnp.concatenate(
+            [tbl_zc, jnp.stack(blk_rows[:rounds])], axis=0
+        )  # (rowsN, Np+1)
+        lay_all = tbl_big[:, jnp.concatenate(idxs)]  # ONE gather
+
+        def round_body_pre(carry, r):
+            pen_prev, E_c, O_c = carry
+            lay = jax.lax.dynamic_slice(
+                lay_all, (0, r * L), (d + ncov, L)
+            )
+            blk_lay = jax.lax.dynamic_slice(
+                lay_all, (d + ncov + r, r * L), (1, L)
+            ).astype(jnp.int32)
+            Z_lay = lay[:d]
+            c_lay = lay[d:].astype(jnp.int32)
+            E_n, O_n, pen_out, acc = kernel(
+                Yt, Z_lay, c_lay, blk_lay, mf, pen_prev, E_c, O_c,
+                Prr, sig, th,
+            )
+            pen_next = jnp.concatenate(
+                [
+                    jnp.transpose(pen_out, (1, 0, 2)).reshape(K, nb * B),
+                    jnp.ones((K, B), f32),
+                ],
+                axis=1,
+            )
+            return (
+                (pen_next, E_n, O_n),
+                (E_n, O_n, acc[0, 0], acc[0, 1]),
+            )
+
+        (pen_prev, E_c, O_c), (E_st, O_st, kerr_st, ent_st) = (
+            jax.lax.scan(
+                round_body_pre,
+                (pen_prev, E_c, O_c),
+                jnp.arange(rounds),
+            )
         )
-    )
+    else:
+
+        def round_body(carry, perm_r):
+            pen_prev, blk_nat, E_c, O_c = carry
+            idx, mask = block_maker(cfg, perm_r)  # (nb, S)
+            if S_pad != S:
+                padw = ((0, 0), (0, S_pad - S))
+                idx = jnp.pad(idx, padw, constant_values=Np)
+                mask = jnp.pad(mask, padw, constant_values=False)
+            flat_idx = idx.reshape(-1)
+            mf = mask.astype(f32).reshape(1, L)
+
+            blk_row = jnp.concatenate(
+                [blk_nat, jnp.full((1,), nb, jnp.int32)]
+            ).astype(f32)[None, :]
+            lay = jnp.concatenate([tbl_zc, blk_row], axis=0)[:, flat_idx]
+            Z_lay = lay[:d]
+            c_lay = lay[d : d + ncov].astype(jnp.int32)
+            blk_lay = lay[d + ncov :].astype(jnp.int32)
+
+            E_n, O_n, pen_out, acc = kernel(
+                Yt, Z_lay, c_lay, blk_lay, mf, pen_prev, E_c, O_c,
+                Prr, sig, th,
+            )
+            # next round's carried context
+            pen_next = jnp.concatenate(
+                [
+                    jnp.transpose(pen_out, (1, 0, 2)).reshape(K, nb * B),
+                    jnp.ones((K, B), f32),
+                ],
+                axis=1,
+            )
+            blk_next = (
+                jnp.zeros((Np + 1,), jnp.int32).at[flat_idx].set(slot_blk)
+            )[:Np]
+            return (
+                (pen_next, blk_next, E_n, O_n),
+                (E_n, O_n, acc[0, 0], acc[0, 1]),
+            )
+
+        (pen_prev, blk_nat, E_c, O_c), (E_st, O_st, kerr_st, ent_st) = (
+            jax.lax.scan(
+                round_body, (pen_prev, blk_nat, E_c, O_c), perms
+            )
+        )
 
     # materialise the final round's R once, in NATURAL order — no layout
     # write, no scatter (both measured pathological: a revisited Pallas

@@ -125,14 +125,24 @@ def init_state(
     :func:`harmony_tpu.engine.init_cluster` runs (src/harmony.cpp:131-156).
     """
     dtype = jnp.dtype(cfg.dtype)
-    Z = np.asarray(Z)
+    streamed = isinstance(Z, jax.Array)
     gcodes = design.codes.astype(np.int32)
+    if not streamed:
+        Z = np.asarray(Z)
     if cfg.Np != cfg.N:
         # Pad the cell axis with inert zero cells (see HarmonyConfig.N_pad).
         pad = cfg.Np - cfg.N
-        Z = np.concatenate([Z, np.zeros((cfg.d, pad), Z.dtype)], axis=1)
+        if not streamed:  # streamed uploads arrive pre-padded (AsyncIngest)
+            Z = np.concatenate(
+                [Z, np.zeros((cfg.d, pad), Z.dtype)], axis=1
+            )
         gcodes = np.concatenate(
             [gcodes, np.zeros((gcodes.shape[0], pad), gcodes.dtype)], axis=1
+        )
+    if streamed and Z.shape != (cfg.d, cfg.Np):
+        raise ValueError(
+            f"streamed embedding has shape {Z.shape}, expected "
+            f"{(cfg.d, cfg.Np)} (AsyncIngest pads to cfg.Np)"
         )
     Z_orig = jnp.asarray(Z, dtype=dtype)
     norms = jnp.linalg.norm(Z_orig, axis=0, keepdims=True)

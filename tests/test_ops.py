@@ -255,3 +255,33 @@ class TestBlockUpdateRound:
         np.testing.assert_allclose(np.asarray(res.O), O_direct, atol=1e-3)
         E_direct = np.asarray(ops.compute_E(res.R, Pr_b))
         np.testing.assert_allclose(np.asarray(res.E), E_direct, atol=1e-3)
+
+
+def test_make_blocks_sorted_membership():
+    """make_blocks_sorted: identical block membership to make_blocks,
+    ascending within-block order (the exact math is order-invariant
+    within a block, src/harmony.cpp:309-331)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from harmony_tpu.config import HarmonyConfig
+    from harmony_tpu.ops.assign import make_blocks, make_blocks_sorted
+
+    rng = np.random.default_rng(0)
+    for N, bs in ((100, 0.3), (237, 0.05), (64, 0.25)):
+        cfg = HarmonyConfig(
+            N=N, d=4, K=3, B=2, B_vec=(2,), block_size=bs,
+        )
+        perm = jnp.asarray(rng.permutation(N).astype(np.int32))
+        idx, mask = make_blocks(cfg, perm)
+        idx_s, mask_s = make_blocks_sorted(cfg, perm)
+        assert idx_s.shape == idx.shape
+        np.testing.assert_array_equal(np.asarray(mask_s), np.asarray(mask))
+        for b in range(cfg.n_blocks):
+            a = np.asarray(idx[b])[np.asarray(mask[b])]
+            s = np.asarray(idx_s[b])[np.asarray(mask_s[b])]
+            assert set(a) == set(s), f"block {b} membership differs"
+            assert np.all(np.diff(s) > 0), f"block {b} not ascending"
+        # every cell exactly once across blocks
+        all_s = np.asarray(idx_s)[np.asarray(mask_s)]
+        assert sorted(all_s) == list(range(N))

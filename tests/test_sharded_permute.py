@@ -210,3 +210,62 @@ def test_engine_sharded_permute_matches_xla_path():
     np.testing.assert_allclose(
         np.asarray(outs["pallas"].R).sum(axis=0), 1.0, atol=1e-5
     )
+
+
+def test_fused_phase_sorted_blocks_equivalent():
+    """sorted_blocks=True only regroups within-block fp summation: the
+    trajectory matches the exact-order phase to fp tolerance (identical
+    membership and commit points)."""
+    from harmony_tpu.ops.pallas_estep import pallas_permute_phase
+
+    cfg, Z, Y, R0, E0, O0, codes, Pr_b, sigma, theta, perms = _problem(
+        N=256, seed=5
+    )
+    cfg = dataclasses.replace(cfg, estep_sub_tile=64)
+    outs = {}
+    for srt in (False, True):
+        outs[srt] = jax.jit(
+            lambda *a, s=srt: pallas_permute_phase(
+                cfg, *a, sub_tile=64, interpret=True, sorted_blocks=s
+            )
+        )(Z, Y, E0, O0, codes, Pr_b, sigma, theta, perms)
+    np.testing.assert_allclose(
+        np.asarray(outs[True].R), np.asarray(outs[False].R), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[True].E_rounds),
+        np.asarray(outs[False].E_rounds), atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[True].O_rounds),
+        np.asarray(outs[False].O_rounds), atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[True].kmeans_error),
+        np.asarray(outs[False].kmeans_error), rtol=1e-4,
+    )
+
+
+def test_fused_phase_prefetch_layouts_identical():
+    """The one-gather layout prefetch is pure data routing: results must
+    be IDENTICAL to the per-round-gather path (same kernel, same blocks,
+    same commit points)."""
+    from harmony_tpu.ops.pallas_estep import pallas_permute_phase
+
+    cfg, Z, Y, R0, E0, O0, codes, Pr_b, sigma, theta, perms = _problem(
+        N=256, seed=8
+    )
+    outs = {}
+    for pf in (False, True):
+        outs[pf] = jax.jit(
+            lambda *a, p=pf: pallas_permute_phase(
+                cfg, *a, sub_tile=64, interpret=True, prefetch_layouts=p
+            )
+        )(Z, Y, E0, O0, codes, Pr_b, sigma, theta, perms)
+    for f in ("R", "E", "O", "E_rounds", "O_rounds", "kmeans_error",
+              "entropy"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(outs[True], f)),
+            np.asarray(getattr(outs[False], f)),
+            err_msg=f,
+        )
