@@ -124,10 +124,14 @@ class HarmonyResult:
     def B(self) -> int:
         return self.config.B
 
-    # device->host fetches are chunked to this many elements (~256 MB of
+    # device->host fetches are chunked to this many elements (~64 MB of
     # f32): one giant copy can exhaust transport/staging resources on
     # remote-attached devices, and bounded messages stream just as fast
-    _FETCH_CHUNK_ELEMS = 64 * 2**20
+    _FETCH_CHUNK_ELEMS = 16 * 2**20
+    # chunks fetch CONCURRENTLY: on remote-attached devices each copy
+    # pays a round trip, and overlapping them recovers most of the link
+    # bandwidth (directly-attached chips are fast either way)
+    _FETCH_WORKERS = 4
 
     def _fetch(self, X) -> np.ndarray:
         if not hasattr(X, "devices"):
@@ -136,9 +140,13 @@ class HarmonyResult:
         cols = max(1, self._FETCH_CHUNK_ELEMS // max(1, X.shape[0]))
         if ncols <= cols:
             return np.asarray(X)
-        parts = [
-            np.asarray(X[:, i : i + cols]) for i in range(0, ncols, cols)
-        ]
+        from concurrent.futures import ThreadPoolExecutor
+
+        starts = list(range(0, ncols, cols))
+        with ThreadPoolExecutor(max_workers=self._FETCH_WORKERS) as ex:
+            parts = list(
+                ex.map(lambda i: np.asarray(X[:, i : i + cols]), starts)
+            )
         return np.concatenate(parts, axis=-1)
 
     def _cells(self, X) -> np.ndarray:
@@ -345,7 +353,8 @@ def run_harmony(
     chunks on a background thread, overlapping the upload with the
     ingest-layout build and engine construction; the ingest reorder then
     runs on device (:class:`harmony_tpu.runtime.AsyncIngest`). ``"auto"``
-    (default) enables it from 200k cells; values are identical either
+    (default) enables it once the engine-dtype upload reaches ~256 MB
+    (where the transfer dominates ingest); values are identical either
     way — streaming only changes when bytes move.
 
     ``abort`` (a :class:`harmony_tpu.runtime.AbortFlag`) enables
@@ -450,10 +459,18 @@ def run_harmony(
     # cell-embedding shard"): start the chunked engine-dtype upload NOW,
     # on a background thread, so the ingest-layout build, hyperparameter
     # expansion and engine construction below all overlap the transfer;
-    # the ingest reorder then happens ON DEVICE (runtime.AsyncIngest). At
-    # small N the upload is trivial and the extra thread buys nothing.
+    # the ingest reorder then happens ON DEVICE (runtime.AsyncIngest).
+    # Auto-gate by UPLOAD BYTES, not cells: streaming pays extra
+    # dispatches for the on-device reorder, which only amortise once the
+    # transfer itself dominates (measured v5e round 5: the 10M bf16 1 GB
+    # upload warm wall fell 211.5 -> 113 s, while the 100 MB canonical
+    # 500k upload regressed 13 -> 30 s before this gate).
     if stream_ingest == "auto":
-        stream_ingest = N >= 200_000
+        import jax.numpy as _jnp
+
+        stream_ingest = (
+            N * d * _jnp.dtype(cfg.dtype).itemsize >= 256 * 2**20
+        )
     stream = None
     if stream_ingest:
         from .runtime import AsyncIngest

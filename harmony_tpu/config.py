@@ -431,6 +431,25 @@ def finalize_engine_config(cfg: HarmonyConfig, mesh=None) -> HarmonyConfig:
                 and cfg.max_iter_cluster <= cfg.window_size + 2
             )
         cfg = _dc.replace(cfg, estep_impl="pallas" if use_pallas else "xla")
+    if (
+        cfg.estep_impl == "pallas"
+        and cfg.shuffle_mode != "rotate"
+        and cfg.estep_sub_tile == 4096
+    ):
+        # Fused permute phase: each block pads to nsub * T slots, and the
+        # pad slots pay full gather + kernel cost. Pick the candidate
+        # sub-tile minimising ceil(S/T)*T (ties -> larger T). Measured
+        # (v5e, round 5, canonical 500k: S=25000): T=4096 pads 14.7% ->
+        # 74.3 ms/iter, T=2048 6.5% -> 69.9, T=1024 2.4% -> 67.8; at 2M
+        # (S=100000) T∈{2048,1024} tie at 0.35% -> 627.6 ms vs 641 at
+        # T=4096. Explicit estep_sub_tile values are left alone.
+        S = cfg.max_block_size
+        T = min(
+            (4096, 2048, 1024),
+            key=lambda t: (-(-S // t) * t, -t),
+        )
+        if T != cfg.estep_sub_tile:
+            cfg = _dc.replace(cfg, estep_sub_tile=T)
     if cfg.estep_impl == "pallas" and cfg.shuffle_mode == "rotate":
         # Shrink the cell sub-tile so each shard's round has at least
         # n_blocks tiles (keeps the stochastic block schedule faithful at

@@ -732,8 +732,15 @@ def pallas_permute_phase(
     # block-id scatters hoist out of the scan. Memory: the gathered
     # (d+ncov+rounds, rounds*L) layout block; gate at ~2.5 GB (10M-scale
     # permute runs keep the per-round path).
+    # Measured on v5e (round 5): NEUTRAL — 500k 74.3 -> 75.5 ms/iter, 2M
+    # 641 -> 645 ms. The gather's cost is per-index (table-size-rated),
+    # not per-gather-call, so merging four N-index gathers into one
+    # 4N-index gather buys nothing and the hoisted scatters are offset
+    # by the per-round layout slices. Kept as an explicit knob (and as
+    # the recorded refutation of the fixed-overhead hypothesis); default
+    # stays the per-round path.
     rowsN = d + ncov + rounds
-    prefetch = rounds >= 2 and rowsN * rounds * L * 4 <= 2_500_000_000
+    prefetch = False
     if prefetch_layouts is not None:
         prefetch = prefetch_layouts and rounds >= 1
 

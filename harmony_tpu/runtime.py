@@ -258,6 +258,21 @@ class AsyncIngest:
             raise self._exc
         cfg, mesh = self._cfg, self._mesh
         if mesh is None:
+            if perm is not None:
+                # assemble + reorder as ONE jitted program: eager op
+                # dispatches cost ~100 ms each through a remote tunnel
+                N = cfg.N
+                idx = np.arange(cfg.Np, dtype=np.int32)
+                idx[:N] = np.asarray(perm, dtype=np.int32)
+                return jax.jit(
+                    lambda i, *parts: jnp.take(
+                        parts[0]
+                        if len(parts) == 1
+                        else jnp.concatenate(parts, axis=1),
+                        i,
+                        axis=1,
+                    )
+                )(jnp.asarray(idx), *self._parts)
             Z = (
                 self._parts[0]
                 if len(self._parts) == 1

@@ -204,6 +204,9 @@ def _e2e_one(n_cells, d, n_batches, dtype, repeats=2) -> dict:
         "n_batches": n_batches,
         "dtype": dtype,
         "wall_s": round(walls[0], 3),
+        # full sample list: through the remote tunnel single walls swing
+        # by tens of seconds (VERDICT r4 weak #3 asked for spread)
+        "wall_s_all": [round(w, 3) for w in walls],
         "wall_s_warm": round(min(walls[1:]), 3) if len(walls) > 1 else None,
         "wall_s_warm_per_iter": (
             round(min(walls[1:]) / max(n_rounds, 1), 4)
@@ -229,7 +232,10 @@ def section_e2e(skip_10m: bool) -> dict:
 
 def section_e2e10m() -> dict:
     return {
-        "baseline_10m": _e2e_one(10_000_000, 50, 100, "bfloat16"),
+        # 3 warm samples (4 runs): the warm wall is min-of-3 and the
+        # recorded wall_s_all documents the tunnel spread
+        "baseline_10m": _e2e_one(10_000_000, 50, 100, "bfloat16",
+                                 repeats=4),
         "note": _E2E_NOTE,
     }
 

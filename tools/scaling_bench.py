@@ -51,6 +51,14 @@ def main():
     ap.add_argument("--proc-cells", type=int, default=65536,
                     help="global cells for the --processes mode")
     ap.add_argument("--bench-pairs", type=int, default=5)
+    ap.add_argument(
+        "--shuffle", choices=["rotate", "permute"], default="rotate",
+        help="schedule for the device-count legs: 'rotate' = the "
+        "production kernels; 'permute' = the reference-exact schedule "
+        "(1-device leg: the fused Pallas phase in interpret mode; mesh "
+        "leg: the sharded fused phase, ops/permute_phase.py — structure "
+        "evidence for its program, VERDICT r4 #8)",
+    )
     args = ap.parse_args()
 
     if args.processes >= 2:
@@ -73,14 +81,14 @@ def main():
         if n == 1:
             r = run_bench(
                 n_cells=args.cells, d=args.dims, n_batches=args.batches,
-                nclust=args.nclust, max_iter=2, shuffle_mode="rotate",
-                estep_impl="pallas",
+                nclust=args.nclust, max_iter=2,
+                shuffle_mode=args.shuffle, estep_impl="pallas",
             )
         else:
             r = run_bench(
                 n_cells=args.cells, d=args.dims, n_batches=args.batches,
                 nclust=args.nclust, max_iter=2, mesh="auto",
-                shuffle_mode="rotate", estep_impl="pallas",
+                shuffle_mode=args.shuffle, estep_impl="pallas",
             )
         total = r["value"] * r["n_devices"]
         results[n] = {
