@@ -171,6 +171,14 @@ def run_bench(
 
         the_mesh = make_mesh()
         cfg = pad_for_mesh(cfg, the_mesh)
+    elif isinstance(mesh, int) and mesh >= 1:
+        # an explicit mesh SIZE (scaling_bench same-program legs: a
+        # 1-device mesh still takes the sharded code path, so 1-vs-N
+        # compares identical programs)
+        from .sharding import make_mesh, pad_for_mesh
+
+        the_mesh = make_mesh(mesh)
+        cfg = pad_for_mesh(cfg, the_mesh)
     from .config import finalize_engine_config
 
     cfg = finalize_engine_config(cfg, the_mesh)

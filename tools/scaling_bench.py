@@ -77,8 +77,18 @@ def main():
         # mesh leg). The 'auto' resolution picks the XLA path off-TPU,
         # which the mesh partitions very differently — a 1-vs-N comparison
         # of that path does not measure the production engine's sharding
-        # overhead (round-3 finding).
-        if n == 1:
+        # overhead (round-3 finding). For the permute schedule the legs
+        # pass an explicit mesh SIZE so a 1-device leg still takes the
+        # SHARDED fused-phase program (ops/permute_phase.py) — comparing
+        # the single-device interpret-mode Pallas phase against the SPMD
+        # XLA phase would compare different programs entirely.
+        if args.shuffle == "permute":
+            r = run_bench(
+                n_cells=args.cells, d=args.dims, n_batches=args.batches,
+                nclust=args.nclust, max_iter=2, mesh=n,
+                shuffle_mode=args.shuffle, estep_impl="pallas",
+            )
+        elif n == 1:
             r = run_bench(
                 n_cells=args.cells, d=args.dims, n_batches=args.batches,
                 nclust=args.nclust, max_iter=2,
