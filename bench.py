@@ -127,7 +127,12 @@ def main() -> int:
         baseline_cells_per_sec=baseline,
         estep_impl=os.environ.get("HARMONY_BENCH_ESTEP"),
         mstep_mode=os.environ.get("HARMONY_BENCH_MSTEP"),
-        mesh=os.environ.get("HARMONY_BENCH_MESH"),
+        # 'auto' = all local devices; an integer = an explicit mesh SIZE
+        # (a 1-device mesh still takes the sharded code paths)
+        mesh=(
+            int(m) if (m := os.environ.get("HARMONY_BENCH_MESH")) and
+            m.isdigit() else m
+        ),
         # 'rotate' is the scale-mode schedule (statistically equivalent,
         # zero-gather rounds); set HARMONY_BENCH_SHUFFLE=permute for the
         # reference-exact schedule.

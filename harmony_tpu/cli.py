@@ -91,6 +91,10 @@ def _resume_run(args, Z, meta) -> np.ndarray:
             ("--seed", args.seed, 0),
             # the mode actually used comes from the checkpoint provenance
             ("--shuffle-mode", args.shuffle_mode, "auto"),
+            # engine knobs are baked into the checkpointed config too
+            ("--dtype", args.dtype, None),
+            ("--estep-impl", args.estep_impl, "auto"),
+            ("--virtual-r", args.virtual_r, "auto"),
         ) if val != default
     ]
     if ignored:

@@ -160,3 +160,47 @@ def test_two_process_fast_path_matches_single_process():
     np.testing.assert_allclose(
         outs[0]["objective_harmony"], ref["objective_harmony"], rtol=1e-4
     )
+
+
+@pytest.mark.slow
+def test_two_process_permute_phase_matches_single_process():
+    """The sharded fused permute phase (ops/permute_phase.py) across two
+    real processes: global blocks from identical drawn permutations
+    (same seed in every process), per-commit K x B psums over gloo.
+    Both processes must hold the same replicated trace and match the
+    single-process mesh run to fp tolerance."""
+    port = _free_port()
+    base = [
+        "--num-processes", "2", "--port", str(port), "--cells", "16384",
+        "--shuffle", "permute",
+    ]
+
+    ref = _run_worker(["--process-id", "0", "--single-process", *base])
+    assert ref["processes"] == 1 and ref["global_devices"] == 4
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, "--process-id", str(i), *base],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env={k: v for k, v in os.environ.items() if k != "XLA_FLAGS"},
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=420)
+        assert p.returncode == 0, (stdout[-2000:], stderr[-2000:])
+        line = [l for l in stdout.splitlines() if l.startswith("{")][-1]
+        outs.append(json.loads(line))
+
+    for o in outs:
+        assert o["processes"] == 2 and o["global_devices"] == 4
+    np.testing.assert_array_equal(
+        outs[0]["objective_kmeans"], outs[1]["objective_kmeans"]
+    )
+    np.testing.assert_allclose(
+        outs[0]["objective_harmony"], ref["objective_harmony"], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        outs[0]["objective_kmeans"], ref["objective_kmeans"], rtol=1e-3
+    )

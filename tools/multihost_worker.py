@@ -39,6 +39,12 @@ def main():
         "ingest, fused M-step moments and virtual R over the global mesh",
     )
     ap.add_argument(
+        "--shuffle", choices=["rotate", "permute"], default="rotate",
+        help="'permute' exercises the sharded fused permute phase "
+        "(ops/permute_phase.py): global blocks + per-commit KxB psums "
+        "over the gloo backend",
+    )
+    ap.add_argument(
         "--single-process", action="store_true",
         help="skip jax.distributed: one process owning the whole mesh "
         "(the reference result the multi-process run must match)",
@@ -117,7 +123,8 @@ def main():
         verbose=False,
     )
     overrides = dict(
-        shuffle_mode="rotate", estep_impl="pallas", estep_sub_tile=512,
+        shuffle_mode=args.shuffle, estep_impl="pallas",
+        estep_sub_tile=512,
     )
     tile = 128  # ingest tiling and cfg.mstep_tile must agree (fast path)
     if args.fast_path:
