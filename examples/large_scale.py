@@ -45,6 +45,9 @@ res = run_harmony(
     shuffle_mode="rotate",
     # dtype="bfloat16",            # halves HBM traffic at scale
     # mesh="auto",                 # shard cells over all local devices
+    # stream_ingest="auto" (default): uploads >=256 MB stream in
+    #   engine-dtype chunks on a background thread, overlapped with the
+    #   layout/engine build; mesh runs place per-shard slices directly
     checkpoint_path=ckpt,  # crash recovery: resume via the CLI
     #   (harmony-tpu run ... --checkpoint PATH), which rebuilds the
     #   rotate ingest order from the checkpoint's provenance meta —
